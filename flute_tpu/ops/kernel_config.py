@@ -1,0 +1,174 @@
+"""Kernel configuration registry for the TPU LUT-GEMM.
+
+The TPU-native replacement for the reference's compile-time template system
+(reference: flute/csrc/config.hpp:187-558 computes smem layouts / tiled MMA
+shapes per template; flute/utils.py:302-344 is the template registry +
+support predicate; flute/csrc/qgemm_kernel_raw_generated.cu is the
+switch(template_id) dispatch). On TPU none of that machinery survives:
+a config is a plain dataclass of block shapes; "instantiation" is jit
+specialization of the Pallas kernel; dispatch is a dict lookup.
+
+What *does* survive is the role: a registry of candidate configs per GEMM
+shape, a validity predicate, and a stable identity (``config.key()``) that
+is persisted in checkpoints the way the reference persists ``template_id``
+(reference: flute/integrations/base.py:310-326).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+DEFAULT_CHUNK = 256
+
+# Sublane granularity of the bf16 LUT gather tile.
+LUT_ROWS = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    """Block shapes + strategy flags for one Pallas LUT-GEMM specialization."""
+
+    block_m: int = 16
+    block_n: int = 2048
+    block_k: int = 1024
+    # LUT strategy (see flute_tpu/ops/lut_gemm.py):
+    #   "gather8"  — even/odd 8-entry sublane gathers over bit-pattern
+    #                tables, OR-merged into bf16-pair payloads (fast path);
+    #   "pair_lut" — joint 2^(2b)-entry pair-payload table via 128-lane
+    #                gathers (vector dequantization / HIGGS);
+    #   "select"   — portable select-sum fallback.
+    lut_mode: str = "gather8"
+    # Pack chunk the weight layout was built with (block_k % chunk == 0).
+    chunk: int = DEFAULT_CHUNK
+    # Split the K-reduction across this many parallel partial outputs, then
+    # reduce. The deterministic XLA-side replacement for the reference's
+    # Stream-K cross-CTA fixup (flute/csrc/tile_scheduler_utils.hpp:68-209):
+    # partials are materialized and summed by XLA, never atomically.
+    split_k: int = 1
+
+    def key(self) -> str:
+        return (
+            f"m{self.block_m}n{self.block_n}k{self.block_k}"
+            f"_{self.lut_mode}_c{self.chunk}_s{self.split_k}"
+        )
+
+    @staticmethod
+    def from_key(key: str) -> "KernelConfig":
+        import re
+
+        m = re.fullmatch(
+            r"m(\d+)n(\d+)k(\d+)_([a-z0-9_]+)_c(\d+)_s(\d+)", key
+        )
+        if m is None:
+            raise ValueError(f"Bad KernelConfig key: {key}")
+        return KernelConfig(
+            block_m=int(m.group(1)),
+            block_n=int(m.group(2)),
+            block_k=int(m.group(3)),
+            lut_mode=m.group(4),
+            chunk=int(m.group(5)),
+            split_k=int(m.group(6)),
+        )
+
+
+def is_config_supported(
+    config: KernelConfig,
+    m: int,
+    n: int,
+    k: int,
+    num_bits: int,
+    group_size: int,
+) -> bool:
+    """Validity predicate (role of reference flute/utils.py:322-344).
+
+    TPU version checks tile divisibility and VMEM fit instead of
+    tiles >= CTA count.
+    """
+    del m  # block_m is padded; any m works
+    if config.block_k % config.chunk != 0:
+        return False
+    if n % config.block_n != 0:
+        return False
+    if k % (config.block_k * config.split_k) != 0:
+        return False
+    if group_size > config.block_k:
+        return False
+    if config.block_k % group_size != 0:
+        return False
+    if config.block_n % 128 != 0 or config.block_m % 8 != 0:
+        return False
+    # Rough VMEM budget: packed block + dequantized block (bf16) + x block +
+    # acc block, double-buffered. Keep under ~12 MiB.
+    packed_bytes = config.block_k * config.block_n * num_bits // 8
+    deq_bytes = config.block_k * config.block_n * 2
+    x_bytes = config.block_m * config.block_k * 2
+    acc_bytes = config.block_m * config.block_n * 4
+    vmem = 2 * (packed_bytes + x_bytes) + deq_bytes * 2 + acc_bytes
+    return vmem < 12 * 1024 * 1024
+
+
+def get_candidate_configs(
+    m: int,
+    n: int,
+    k: int,
+    num_bits: int,
+    group_size: int,
+) -> Iterator[KernelConfig]:
+    """Enumerate plausible configs for a shape — the tuner's search space
+    (role of the reference's template option grid,
+    flute/codegen_utils.py:89-176)."""
+    block_ms = sorted({max(16, min(_round_up(m, 16), bm)) for bm in (16, 64, 128, 256)})
+    for bm in block_ms:
+        for bn in (256, 512, 1024, 2048):
+            if n % bn != 0:
+                continue
+            for bk in (256, 512, 1024, 2048):
+                for split_k in (1, 2, 4, 8):
+                    cfg = KernelConfig(
+                        block_m=bm, block_n=bn, block_k=bk, split_k=split_k
+                    )
+                    if is_config_supported(cfg, m, n, k, num_bits, group_size):
+                        yield cfg
+
+
+def _round_up(x: int, mult: int) -> int:
+    return (x + mult - 1) // mult * mult
+
+
+def get_kernel_config(
+    m: int,
+    n: int,
+    k: int,
+    num_bits: int,
+    group_size: int,
+) -> KernelConfig:
+    """Static heuristic default config (no tuning).
+
+    Decode (small m) is weight-bandwidth-bound: prefer large block_n/block_k
+    so each weight byte is touched once and pipelining is deep. Prefill
+    (large m) prefers square-ish MXU tiles.
+    """
+    bm = min(_round_up(max(m, 1), 16), 256)
+    # Prefer the largest block_n dividing n (bounded), then block_k
+    # (measured on v5e: bn=2048/bk=1024 is the decode sweet spot).
+    bn = 512
+    for cand in (2048, 1024, 512, 256, 128):
+        if n % cand == 0:
+            bn = cand
+            break
+    bk = 512
+    for cand in (1024, 512, 256):
+        if k % cand == 0:
+            bk = cand
+            break
+    cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk)
+    if not is_config_supported(cfg, m, n, k, num_bits, group_size):
+        # Fall back to the smallest legal config.
+        for cand in get_candidate_configs(m, n, k, num_bits, group_size):
+            return cand
+        raise ValueError(
+            f"No supported kernel config for M={m} N={n} K={k} "
+            f"bits={num_bits} group={group_size}"
+        )
+    return cfg

@@ -1,0 +1,633 @@
+"""Fused LUT-dequantize + GEMM — the hot path of flute-tpu.
+
+TPU-native re-design of the reference's CUDA kernel stack
+(reference: flute/csrc/qgemm_kernel.hpp:26-939 device kernel,
+flute/csrc/packbits_utils.hpp:379-427 in-register dequant,
+flute/csrc/qgemm.cpp:86-198 torch-op dispatch). None of that architecture
+carries over; what carries over is the *contract*:
+
+    y[M, N] = x[M, K] @ (table[codes[K, N]] * scales[K//g, N] expanded)
+
+computed without ever materializing the dequantized weight in HBM.
+
+Kernel structure: one Pallas kernel, grid = (M/bm, N/bn, K/bk) with K
+innermost; packed int32 pair-field words stream HBM->VMEM through the
+Pallas pipeline (the role of the reference's cp.async stages — Mosaic
+double-buffers); f32 accumulation in a VMEM scratch. The reference's
+Stream-K cross-CTA atomic fixup (tile_scheduler_utils.hpp:68-209) dissolves
+into the sequential K grid dimension — deterministic by construction.
+
+LUT strategies (measured on TPU v5e; see KernelConfig.lut_mode):
+
+* ``gather8`` (default, 16-bit compute dtypes): weights are processed as
+  K-adjacent *pairs*. Even/odd sub-codes each index an 8-entry sublane
+  ``tpu.dynamic_gather`` (~0.65 cyc/vreg vs 3.9 for the 128-lane gather)
+  over tables of raw bf16/f16 *bit patterns*; >8-entry tables use a
+  select-chain over 8-entry groups. The two 16-bit results OR-merge into a
+  32-bit payload and ``pltpu.bitcast`` lands them on adjacent sublanes for
+  free — the TPU-native analogue of the reference's vectorized ``qmap2``
+  pair lookup (packbits_utils.hpp:27-144). Measured ~41% of the W4 HBM
+  roofline at decode shapes (vs ~14% for naive per-element gathers).
+
+* ``pair_lut``: a *joint* 2^(2b)-entry pair-payload table via 128-lane
+  gathers (select-chain over 128-entry groups). This is vector
+  dequantization: HIGGS vector_size=2 grids plug in directly as the pair
+  table (the reference's qmap2-as-grid insight, flute/integrations/
+  higgs.py:8-97).
+
+* ``select``: portable select-sum fallback (no dynamic_gather), used for
+  f32 compute and as a correctness cross-check.
+
+The reference's duplicated-qmap smem trick (anti-bank-conflict) is
+unnecessary on TPU (VMEM has no bank conflicts) and is dropped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flute_tpu import bitutils
+from flute_tpu.ops.kernel_config import (
+    KernelConfig,
+    get_kernel_config,
+)
+
+LANE_WIDTH = 128
+SUBLANE_TILE = 8  # rows of a 32-bit sublane gather
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Reference (oracle) implementation — pure jnp, defines the exact semantics.
+# ---------------------------------------------------------------------------
+
+
+def dequantize_codes(
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    table: jnp.ndarray,
+    dtype,
+) -> jnp.ndarray:
+    """Oracle dequantization: ``table[codes] * scales`` with group expansion.
+
+    Matches the kernel's rounding exactly: lookup and scale multiply happen
+    in ``dtype`` (the role of the reference's ``nf_quantize_2``,
+    flute/nf_utils.py:75-89).
+    """
+    k = codes.shape[0]
+    group_size = k // scales.shape[0]
+    t = table.astype(dtype)
+    s = jnp.repeat(scales.astype(dtype), group_size, axis=0)
+    return t[codes] * s
+
+
+def dequantize_codes_pair(
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    pair_values: jnp.ndarray,
+    dtype,
+) -> jnp.ndarray:
+    """Oracle for joint pair (vector) dequantization: rows (2j, 2j+1) take
+    their values from ``pair_values[c_2j, c_2j+1]`` (shape [E, E, 2])."""
+    k = codes.shape[0]
+    group_size = k // scales.shape[0]
+    pv = pair_values.astype(dtype)
+    ce, co = codes[0::2], codes[1::2]
+    v = pv[ce, co]  # [K/2, N, 2]
+    deq = jnp.stack([v[..., 0], v[..., 1]], axis=1).reshape(codes.shape)
+    s = jnp.repeat(scales.astype(dtype), group_size, axis=0)
+    return deq * s
+
+
+def lut_qgemm_reference(
+    x: jnp.ndarray,
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    table: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pure-XLA ground truth (role of reference tests/kernel.py:68-71)."""
+    ct = x.dtype
+    deq = dequantize_codes(codes, scales, table, ct)
+    y = jnp.dot(x, deq, preferred_element_type=jnp.float32)
+    return y.astype(ct)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel building blocks
+# ---------------------------------------------------------------------------
+
+_DN_SUBLANE = lax.GatherDimensionNumbers(
+    offset_dims=(),
+    collapsed_slice_dims=(0,),
+    start_index_map=(0,),
+    operand_batching_dims=(1,),
+    start_indices_batching_dims=(1,),
+)
+_DN_LANE = lax.GatherDimensionNumbers(
+    offset_dims=(),
+    collapsed_slice_dims=(1,),
+    start_index_map=(1,),
+    operand_batching_dims=(0,),
+    start_indices_batching_dims=(0,),
+)
+
+
+def _gather_sublane(op: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[i, j] = op[idx[i, j], j]; op/idx/out all [8, n], idx < 8."""
+    return lax.gather(
+        op, idx[..., None], _DN_SUBLANE, slice_sizes=(1, 1),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _gather_lane(op: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[i, j] = op[i, idx[i, j]]; op/idx/out all [r, 128], idx < 128."""
+    return lax.gather(
+        op, idx[..., None], _DN_LANE, slice_sizes=(1, 1),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _unpack_pair_fields(
+    plane_vals: Sequence[jnp.ndarray],
+    plane_bits: Sequence[int],
+    block_k: int,
+    chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Unpack int32 pair-field words into (ce, co) int32 [block_k//2, bn].
+
+    Static shifts/masks + in-order sublane concatenation; see
+    flute_tpu/packing.py for the layout contract.
+    """
+    pairs_per_chunk = chunk // 2
+    ce_acc = None
+    co_acc = None
+    shift = 0
+    for words, pb in zip(plane_vals, plane_bits):
+        fb = 2 * pb
+        r = bitutils.WORD_BITS // fb
+        kc = pairs_per_chunk // r
+        mask = (1 << fb) - 1
+        slabs = []
+        for c in range(block_k // chunk):
+            w = words[c * kc:(c + 1) * kc]
+            for i in range(r):
+                slabs.append((w >> (fb * i)) & mask)
+        pf = jnp.concatenate(slabs, axis=0)  # [block_k//2, bn] pair fields
+        ce_p = pf & ((1 << pb) - 1)
+        co_p = pf >> pb
+        if shift == 0:
+            ce_acc, co_acc = ce_p, co_p
+        else:
+            ce_acc = ce_acc | (ce_p << shift)
+            co_acc = co_acc | (co_p << shift)
+        shift += pb
+    return ce_acc, co_acc
+
+
+def _lookup_bits_sublane(
+    tile: jnp.ndarray,
+    codes: jnp.ndarray,
+    num_entries: int,
+    col0: int,
+    bn: int,
+) -> jnp.ndarray:
+    """Gather raw 16/32-bit table *bit patterns* (held as int32) for
+    ``codes`` [rows, bn] via 8-entry sublane gathers.
+
+    ``tile`` is the [8, 128] int32 table tile; columns ``col0 + g`` hold
+    entry group g (entries 8g..8g+7). >8-entry tables use a where-chain
+    over groups.
+    """
+    ngroups = -(-num_entries // SUBLANE_TILE)
+    ops = [
+        jnp.broadcast_to(tile[:, col0 + g:col0 + g + 1], (SUBLANE_TILE, bn))
+        for g in range(ngroups)
+    ]
+    rows = codes.shape[0]
+    out_slices = []
+    for r in range(rows // SUBLANE_TILE):
+        c8 = codes[r * SUBLANE_TILE:(r + 1) * SUBLANE_TILE]
+        if ngroups == 1:
+            res = _gather_sublane(ops[0], c8)
+        else:
+            idx = c8 & (SUBLANE_TILE - 1)
+            res = _gather_sublane(ops[0], idx)
+            for g in range(1, ngroups):
+                res = jnp.where(
+                    c8 >= g * SUBLANE_TILE, _gather_sublane(ops[g], idx), res
+                )
+        out_slices.append(res)
+    return jnp.concatenate(out_slices, axis=0)
+
+
+def _lookup_payload_lane(
+    tile: jnp.ndarray,
+    pc: jnp.ndarray,
+    num_entries: int,
+) -> jnp.ndarray:
+    """Gather 32-bit payloads for pair codes ``pc`` [rows, bn] from a joint
+    table of ``num_entries`` (≤ 16384) via 128-lane gathers with a
+    where-chain over 128-entry groups. ``tile`` is [G, 128] int32."""
+    ngroups = -(-num_entries // LANE_WIDTH)
+    rows, bn = pc.shape
+    ops = [
+        jnp.broadcast_to(tile[g:g + 1, :], (rows, LANE_WIDTH))
+        for g in range(ngroups)
+    ]
+    parts = []
+    for j in range(bn // LANE_WIDTH):
+        pcs = pc[:, j * LANE_WIDTH:(j + 1) * LANE_WIDTH]
+        if ngroups == 1:
+            res = _gather_lane(ops[0], pcs)
+        else:
+            idx = pcs & (LANE_WIDTH - 1)
+            res = _gather_lane(ops[0], idx)
+            for g in range(1, ngroups):
+                res = jnp.where(
+                    pcs >= g * LANE_WIDTH, _gather_lane(ops[g], idx), res
+                )
+        parts.append(res)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _select_values(
+    tile: jnp.ndarray,
+    codes: jnp.ndarray,
+    num_entries: int,
+    col0: int,
+) -> jnp.ndarray:
+    """Portable select-sum over raw bit patterns (int32)."""
+    acc = jnp.full(codes.shape, tile[0, col0], dtype=jnp.int32)
+    for i in range(1, num_entries):
+        acc = jnp.where(
+            codes == i, tile[i % SUBLANE_TILE, col0 + i // SUBLANE_TILE], acc
+        )
+    return acc
+
+
+def _expand_scales(s: jnp.ndarray, rows_per_group: int, rows: int) -> jnp.ndarray:
+    """Expand ``[rows//rpg, bn]`` scales to ``[rows, bn]`` by row broadcast +
+    concat (static, shuffle-free)."""
+    ngroups = rows // rows_per_group
+    if ngroups == 1:
+        return jnp.broadcast_to(s[0:1], (rows, s.shape[1]))
+    pieces = [
+        jnp.broadcast_to(s[i:i + 1], (rows_per_group, s.shape[1]))
+        for i in range(ngroups)
+    ]
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _interleave_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[P, N] x2 -> [2P, N] with rows (a0, b0, a1, b1, ...)."""
+    p, n = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * p, n)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _lut_qgemm_kernel(
+    *refs,
+    num_planes: int,
+    plane_bits: tuple[int, ...],
+    group_size: int,
+    config: KernelConfig,
+    num_entries: int,
+    out_dtype,
+    bn: int,
+    joint_entries: int,
+):
+    x_ref = refs[0]
+    plane_refs = refs[1:1 + num_planes]
+    s_ref = refs[1 + num_planes]
+    t_ref = refs[2 + num_planes]
+    o_ref = refs[3 + num_planes]
+    acc_ref = refs[4 + num_planes]
+
+    k_index = pl.program_id(2)
+    nk = pl.num_programs(2)
+    bk = config.block_k
+    is16 = jnp.dtype(out_dtype).itemsize == 2
+
+    @pl.when(k_index == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ce, co = _unpack_pair_fields(
+        [p[:] for p in plane_refs], plane_bits, bk, config.chunk
+    )
+    tile = t_ref[:]
+    num_bits = sum(plane_bits)
+    ngroups = -(-num_entries // SUBLANE_TILE)
+
+    mode = config.lut_mode
+    if mode == "pair_lut":
+        if not is16:
+            raise NotImplementedError("pair_lut requires a 16-bit compute dtype")
+        pc = ce | (co << num_bits)
+        payload32 = _lookup_payload_lane(tile, pc, joint_entries)
+        deq = pltpu.bitcast(payload32, out_dtype)  # [bk, bn]
+        s_exp = _expand_scales(s_ref[:], group_size, bk)
+        w = deq * s_exp
+    else:
+        if mode == "gather8":
+            ve_bits = _lookup_bits_sublane(tile, ce, num_entries, 0, bn)
+            vo_bits = _lookup_bits_sublane(tile, co, num_entries, ngroups, bn)
+        elif mode == "select":
+            ve_bits = _select_values(tile, ce, num_entries, 0)
+            vo_bits = _select_values(tile, co, num_entries, ngroups)
+        else:
+            raise ValueError(f"Unknown lut_mode: {mode}")
+        if is16:
+            # OR-merge 16-bit patterns (odd side pre-shifted << 16 in the
+            # table tile) into 32-bit payloads; the bitcast interleaves rows
+            # (2j, 2j+1) for free.
+            payload32 = ve_bits | vo_bits
+            deq = pltpu.bitcast(payload32, out_dtype)  # [bk, bn]
+        else:
+            # 32-bit compute: bit patterns are full f32 words; interleave
+            # explicitly (compat path — the flagship dtypes are bf16/f16,
+            # matching the reference's supported dtypes, README.md:233).
+            ve = pltpu.bitcast(ve_bits, out_dtype)
+            vo = pltpu.bitcast(vo_bits, out_dtype)
+            deq = _interleave_rows(ve, vo)
+        s_exp = _expand_scales(s_ref[:], group_size, bk)
+        w = deq * s_exp
+
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_index == nk - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Table tile construction (wrapper-side, jittable)
+# ---------------------------------------------------------------------------
+
+
+def _bits16(values: jnp.ndarray, ct) -> jnp.ndarray:
+    """Raw 16-bit patterns of values rounded to ct, as int32."""
+    b = lax.bitcast_convert_type(values.astype(ct), jnp.uint16)
+    return b.astype(jnp.int32)
+
+
+def _bits32(values: jnp.ndarray) -> jnp.ndarray:
+    return lax.bitcast_convert_type(values.astype(jnp.float32), jnp.int32)
+
+
+def _table_tile_scalar(table: jnp.ndarray, ct, num_entries: int) -> jnp.ndarray:
+    """[8, 128] int32 tile for gather8/select: columns [0, G) hold even-side
+    entry groups, columns [G, 2G) hold odd-side groups (pre-shifted << 16
+    for 16-bit compute dtypes)."""
+    ngroups = -(-num_entries // SUBLANE_TILE)
+    pad = ngroups * SUBLANE_TILE - num_entries
+    is16 = jnp.dtype(ct).itemsize == 2
+    bits = _bits16(table, ct) if is16 else _bits32(table)
+    bits = jnp.pad(bits, (0, pad))
+    cols = bits.reshape(ngroups, SUBLANE_TILE).T  # [8, G]
+    odd = (cols << 16) if is16 else cols
+    tile = jnp.zeros((SUBLANE_TILE, LANE_WIDTH), jnp.int32)
+    tile = tile.at[:, :ngroups].set(cols)
+    tile = tile.at[:, ngroups:2 * ngroups].set(odd)
+    return tile
+
+
+def _table_tile_pair(
+    pair_values: jnp.ndarray, ct, num_bits: int
+) -> jnp.ndarray:
+    """[G, 128] int32 payload tile for pair_lut: entry pc = ce | co << b
+    holds bits16(v[ce,co,0]) | bits16(v[ce,co,1]) << 16."""
+    e = 2 ** num_bits
+    v = pair_values.reshape(e, e, 2)
+    lo = _bits16(v[:, :, 0], ct)  # [ce, co]
+    hi = _bits16(v[:, :, 1], ct)
+    payload = lo | (hi << 16)  # indexed [ce, co]
+    flat = payload.T.reshape(-1)  # pc = ce | co<<b -> index co*e + ce = [co, ce] -> T
+    joint = e * e
+    ngroups = -(-joint // LANE_WIDTH)
+    flat = jnp.pad(flat, (0, ngroups * LANE_WIDTH - joint))
+    return flat.reshape(ngroups, LANE_WIDTH)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bits", "config", "interpret"),
+)
+def _lut_qgemm_2d(
+    x: jnp.ndarray,
+    planes: tuple[jnp.ndarray, ...],
+    scales: jnp.ndarray,
+    table: jnp.ndarray,
+    pair_values: Optional[jnp.ndarray],
+    *,
+    num_bits: int,
+    config: KernelConfig,
+    interpret: bool,
+) -> jnp.ndarray:
+    m, k = x.shape
+    n = scales.shape[1]
+    group_size = k // scales.shape[0]
+    plane_bits = bitutils.planes_for_bits(num_bits)
+    ct = x.dtype
+    num_entries = 2 ** num_bits
+    joint_entries = num_entries * num_entries
+
+    bm, bn, bk = config.block_m, config.block_n, config.block_k
+    assert m % bm == 0 and n % bn == 0 and k % bk == 0, (m, n, k, config)
+    grid = (m // bm, n // bn, k // bk)
+
+    if config.lut_mode == "pair_lut":
+        if pair_values is None:
+            # Separable pair table from the scalar table (outer structure).
+            e = num_entries
+            pv = jnp.stack(
+                [
+                    jnp.broadcast_to(table[:, None], (e, e)),
+                    jnp.broadcast_to(table[None, :], (e, e)),
+                ],
+                axis=-1,
+            )
+        else:
+            pv = pair_values
+        tile = _table_tile_pair(pv, ct, num_bits)
+    else:
+        if pair_values is not None:
+            raise ValueError("pair_values requires lut_mode='pair_lut'")
+        tile = _table_tile_scalar(table, ct, num_entries)
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+    ]
+    for pb in plane_bits:
+        rows = bk * pb // bitutils.WORD_BITS
+        in_specs.append(
+            pl.BlockSpec(
+                (rows, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            )
+        )
+    in_specs.append(
+        pl.BlockSpec(
+            (bk // group_size, bn),
+            lambda i, j, kk: (kk, j),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    in_specs.append(
+        pl.BlockSpec(tile.shape, lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM)
+    )
+
+    kernel = functools.partial(
+        _lut_qgemm_kernel,
+        num_planes=len(plane_bits),
+        plane_bits=plane_bits,
+        group_size=group_size,
+        config=config,
+        num_entries=num_entries,
+        out_dtype=ct,
+        bn=bn,
+        joint_entries=joint_entries,
+    )
+
+    weight_bytes = sum(p.size * 4 for p in planes)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=(
+            x.size * x.dtype.itemsize
+            + weight_bytes
+            + scales.size * scales.dtype.itemsize
+            + m * n * jnp.dtype(ct).itemsize
+        ),
+        transcendentals=0,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), ct),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, *planes, scales, tile)
+
+
+def lut_qgemm(
+    x: jnp.ndarray,
+    qweight: Sequence[jnp.ndarray] | jnp.ndarray,
+    scales: jnp.ndarray,
+    table: jnp.ndarray,
+    *,
+    num_bits: int,
+    config: KernelConfig | None = None,
+    pair_values: Optional[jnp.ndarray] = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused LUT-dequant GEMM: ``x @ (table[codes] * scales_expanded)``.
+
+    Args:
+      x: ``[..., K]`` activations (bf16/f16/f32).
+      qweight: packed int32 plane list from :func:`flute_tpu.packing.pack`
+        (single plane for 2/4-bit, two planes for 3-bit).
+      scales: ``[K // group_size, N]``.
+      table: ``[2^num_bits]`` lookup table (any dtype; rounded to x.dtype).
+      num_bits: 2, 3 or 4.
+      config: kernel block config; default = static heuristic per shape.
+      pair_values: optional joint pair table ``[2^b, 2^b, 2]`` for vector
+        dequantization (HIGGS); forces lut_mode='pair_lut'.
+      interpret: force Pallas interpreter mode (defaults to True on CPU).
+    """
+    if isinstance(qweight, (jnp.ndarray, jax.Array)):
+        qweight = [qweight]
+    planes = tuple(qweight)
+    n = scales.shape[1]
+    *batch, k = x.shape
+    m = 1
+    for b in batch:
+        m *= b
+    if k % scales.shape[0] != 0:
+        raise ValueError(f"K={k} not divisible by scale groups {scales.shape[0]}")
+    group_size = k // scales.shape[0]
+
+    if config is None:
+        config = get_kernel_config(m, n, k, num_bits, group_size)
+    if pair_values is not None and config.lut_mode != "pair_lut":
+        config = KernelConfig(
+            block_m=config.block_m,
+            block_n=config.block_n,
+            block_k=config.block_k,
+            lut_mode="pair_lut",
+            chunk=config.chunk,
+            split_k=config.split_k,
+        )
+    if interpret is None:
+        interpret = _interpret_default()
+
+    x2 = x.reshape(m, k)
+    m_pad = -(-m // config.block_m) * config.block_m
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    y = _lut_qgemm_2d(
+        x2,
+        planes,
+        scales,
+        table if table is not None else jnp.zeros((2 ** num_bits,), jnp.float32),
+        pair_values,
+        num_bits=num_bits,
+        config=config,
+        interpret=interpret,
+    )
+    if m_pad != m:
+        y = y[:m]
+    return y.reshape(*batch, n)
+
+
+def qgemm(
+    x: jnp.ndarray,
+    qweight,
+    scales: jnp.ndarray,
+    table: jnp.ndarray,
+    num_bits: int,
+    group_size: int,
+    config: KernelConfig | None = None,
+    pair_values: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference-API-shaped alias (role of flute.qgemm, reference
+    flute/__init__.py:12-29): explicit num_bits/group_size arguments with a
+    config handle in place of (template_id, num_sms)."""
+    k = x.shape[-1]
+    if scales.shape[0] != k // group_size:
+        raise ValueError(
+            f"scales shape {scales.shape} inconsistent with K={k}, "
+            f"group_size={group_size}"
+        )
+    return lut_qgemm(
+        x, qweight, scales, table, num_bits=num_bits, config=config,
+        pair_values=pair_values,
+    )

@@ -1,0 +1,238 @@
+"""Kernel-native weight packing for the TPU LUT-GEMM.
+
+Role-equivalent of the reference's ``flute/utils.py`` pack/unpack/reconstruct
+(reference: flute/utils.py:59-299, 347-407), with a layout designed for the
+TPU VPU instead of the SM80 MMA thread mapping.
+
+Logical format
+--------------
+* ``codes``:  int32 ``[K, N]`` — b-bit indices into a 2^b-entry table, laid
+  out so that ``y = x[M, K] @ (table[codes] * scales_expanded)``.
+* ``scales``: ``[K // group_size, N]`` — per-(K-group, output-channel).
+
+Packed format: K-pair fields in int32 lane words
+------------------------------------------------
+The kernel processes weights in *K-adjacent pairs* so that one 32-bit lane
+word can carry a packed (bf16, bf16) payload for two consecutive K rows —
+``pltpu.bitcast(int32[R, N] -> bfloat16[2R, N])`` interleaves exactly those
+rows for free. This is the TPU-native analogue of the reference's paired
+``qmap2`` lookup (reference: flute/utils.py make_qmap2_from_qmap;
+flute/csrc/packbits_utils.hpp:27-144 vectorized pair dequant).
+
+Each bit-plane (bitutils.PLANE_DECOMPOSITION; 3-bit = 2+1 planes, the
+TPU answer to the reference's dual-tensor Q/Q2 3-bit layout,
+flute/utils.py:137-253) packs independently:
+
+  pair field of plane p = ce_p | co_p << pb      (2*pb bits)
+
+where (ce, co) are the plane's sub-codes for K rows (2j, 2j+1). Fields are
+chunked along K (chunk = 256 K-rows = 128 pairs): within a chunk, int32
+word ``w[j, n]`` holds, in LSB-first field ``i``, the pair at pair-row
+``i * Kc + j`` (Kc = chunk * pb / 32). The kernel-side unpack is r = 16/pb
+static shift+mask ops per word producing r contiguous pair-row slabs that
+concatenate in order — no shuffles, no cross-lane traffic.
+
+Packed plane shapes for ``[K, N]`` codes (same byte counts as the logical
+bit-width — zero overhead):
+  4-bit: one plane  ``[K//8,  N]`` int32
+  2-bit: one plane  ``[K//16, N]`` int32
+  3-bit: two planes ``[K//16, N]`` + ``[K//32, N]`` int32
+  8-bit: one plane  ``[K//4,  N]`` int32
+
+``reconstruct``/``unpack_via_kernel`` keep the reference's
+kernel-as-its-own-inverse contract (flute/utils.py:347-407): reconstruction
+runs the real GEMM with an identity input; unpack recovers raw codes by
+reconstructing with an identity table — the compatibility linchpin used by
+tensor-parallel resharding and checkpoint migration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from flute_tpu import bitutils
+
+DEFAULT_CHUNK = 256  # K rows per pack chunk (= 128 K-pairs)
+
+
+@dataclasses.dataclass(frozen=True)
+class PackFormat:
+    """Describes the packed layout of a quantized weight.
+
+    The analogue of the reference's per-template tile layout metadata
+    (reference: flute/utils.py:269-299). Kernel block_k must be a multiple
+    of ``chunk``.
+    """
+
+    num_bits: int
+    chunk: int = DEFAULT_CHUNK
+
+    def __post_init__(self):
+        bitutils.planes_for_bits(self.num_bits)  # validate
+        for pb in self.plane_bits:
+            r = bitutils.WORD_BITS // (2 * pb)  # pair fields per word
+            if (self.chunk // 2) % r != 0:
+                raise ValueError(
+                    f"chunk={self.chunk} incompatible with plane of {pb} bits"
+                )
+
+    @property
+    def plane_bits(self) -> tuple[int, ...]:
+        return bitutils.planes_for_bits(self.num_bits)
+
+    def plane_rows(self, k: int, plane_index: int) -> int:
+        pb = self.plane_bits[plane_index]
+        return k * pb // bitutils.WORD_BITS
+
+    def packed_shapes(self, k: int, n: int) -> list[tuple[int, int]]:
+        return [(self.plane_rows(k, i), n) for i in range(len(self.plane_bits))]
+
+    def validate_k(self, k: int) -> None:
+        if k % self.chunk != 0:
+            raise ValueError(
+                f"K={k} must be a multiple of pack chunk {self.chunk} "
+                f"(zero-pad K before packing)"
+            )
+
+
+def _pack_pair_plane_np(
+    pair_codes: np.ndarray, field_bits: int, chunk_pairs: int
+) -> np.ndarray:
+    """Pack ``[P, N]`` pair fields into ``[P*fb/32, N]`` int32 words."""
+    p, n = pair_codes.shape
+    r = bitutils.WORD_BITS // field_bits
+    kc = chunk_pairs // r
+    x = pair_codes.reshape(p // chunk_pairs, r, kc, n).astype(np.uint32)
+    out = np.zeros((p // r, n), np.uint32)
+    for c in range(p // chunk_pairs):
+        w = np.zeros((kc, n), np.uint32)
+        for i in range(r):
+            w |= x[c, i] << (field_bits * i)
+        out[c * kc:(c + 1) * kc] = w
+    return out.view(np.int32)
+
+
+def _unpack_pair_plane_np(
+    words: np.ndarray, field_bits: int, chunk_pairs: int
+) -> np.ndarray:
+    """Inverse of :func:`_pack_pair_plane_np` -> ``[P, N]`` pair fields."""
+    rows, n = words.shape
+    r = bitutils.WORD_BITS // field_bits
+    kc = chunk_pairs // r
+    w = words.view(np.uint32)
+    mask = (1 << field_bits) - 1
+    out = np.zeros((rows * r, n), np.int64)
+    for c in range(rows // kc):
+        blk = w[c * kc:(c + 1) * kc]
+        for i in range(r):
+            out[c * chunk_pairs + i * kc:(c * chunk_pairs) + (i + 1) * kc] = (
+                (blk >> (field_bits * i)) & mask
+            )
+    return out
+
+
+def pack_np(
+    codes: np.ndarray,
+    num_bits: int,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+) -> list[np.ndarray]:
+    """Pack ``[K, N]`` b-bit codes into kernel-native int32 plane arrays."""
+    fmt = PackFormat(num_bits=num_bits, chunk=chunk)
+    k, n = codes.shape
+    fmt.validate_k(k)
+    codes = np.asarray(codes).astype(np.int64)
+    out = []
+    shift = 0
+    for pb in fmt.plane_bits:
+        sub = (codes >> shift) & ((1 << pb) - 1)
+        shift += pb
+        pairs = sub[0::2] | (sub[1::2] << pb)  # [K/2, N] pair fields
+        out.append(_pack_pair_plane_np(pairs, 2 * pb, chunk // 2))
+    return out
+
+
+def pack(
+    codes,
+    num_bits: int,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+) -> list[jnp.ndarray]:
+    """JAX-array-returning wrapper over :func:`pack_np` (packing is offline
+    host work; numpy is the natural engine)."""
+    return [jnp.asarray(p) for p in pack_np(np.asarray(codes), num_bits, chunk=chunk)]
+
+
+def unpack_np(
+    planes: Sequence[np.ndarray],
+    num_bits: int,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+) -> np.ndarray:
+    """Recover ``[K, N]`` int32 codes from packed plane arrays (host-side)."""
+    fmt = PackFormat(num_bits=num_bits, chunk=chunk)
+    acc = None
+    shift = 0
+    for plane, pb in zip(planes, fmt.plane_bits):
+        pairs = _unpack_pair_plane_np(np.asarray(plane), 2 * pb, chunk // 2)
+        p, n = pairs.shape
+        sub = np.zeros((2 * p, n), np.int64)
+        sub[0::2] = pairs & ((1 << pb) - 1)
+        sub[1::2] = pairs >> pb
+        acc = sub << shift if acc is None else acc | (sub << shift)
+        shift += pb
+    return acc.astype(np.int32)
+
+
+def unpack(planes, num_bits: int, *, chunk: int = DEFAULT_CHUNK) -> jnp.ndarray:
+    return jnp.asarray(
+        unpack_np([np.asarray(p) for p in planes], num_bits, chunk=chunk)
+    )
+
+
+def reconstruct(
+    planes: Sequence[jnp.ndarray],
+    scales: jnp.ndarray,
+    table: jnp.ndarray,
+    num_bits: int,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    use_kernel: bool = True,
+) -> jnp.ndarray:
+    """Dequantize packed weights to ``[K, N]`` by running the GEMM with an
+    identity input (the reference's ``utils.reconstruct`` contract,
+    flute/utils.py:347-376)."""
+    from flute_tpu.ops import lut_gemm
+
+    pb0 = bitutils.planes_for_bits(num_bits)[0]
+    k = planes[0].shape[0] * bitutils.WORD_BITS // pb0
+    eye = jnp.eye(k, dtype=scales.dtype)
+    if use_kernel:
+        return lut_gemm.lut_qgemm(
+            eye, list(planes), scales, table, num_bits=num_bits
+        )
+    codes = unpack(planes, num_bits, chunk=chunk)
+    return lut_gemm.dequantize_codes(codes, scales, table, scales.dtype)
+
+
+def unpack_via_kernel(
+    planes: Sequence[jnp.ndarray],
+    num_bits: int,
+    n: int,
+    k: int,
+) -> jnp.ndarray:
+    """Recover codes by reconstructing with an identity table and unit scales
+    — the kernel-as-its-own-inverse trick (reference flute/utils.py:379-407).
+    Exact because 2^b <= 256 integers are exactly representable in bf16/f32."""
+    from flute_tpu.ops import lut_gemm
+
+    table = jnp.arange(2 ** num_bits, dtype=jnp.float32)
+    # unit scales at group_size=64; any group size works with unit scales
+    scales = jnp.ones((k // 64, n), jnp.float32)
+    eye = jnp.eye(k, dtype=jnp.float32)
+    deq = lut_gemm.lut_qgemm(eye, list(planes), scales, table, num_bits=num_bits)
+    return jnp.round(deq).astype(jnp.int32)

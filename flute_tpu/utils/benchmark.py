@@ -1,0 +1,82 @@
+"""Device-side microbenchmark harness.
+
+The role of the reference's `triton.testing.do_bench` usage
+(reference: flute/tune.py:82-109) — but designed for remote-attached TPUs
+where per-dispatch latency is milliseconds: the op under test is iterated
+*inside* a single jitted fori_loop with a serializing data dependency, so
+one dispatch covers N kernel executions and the measured time is pure
+device time.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_op(
+    f: Callable[..., jnp.ndarray],
+    *args,
+    iters: int = 200,
+    warmup: bool = True,
+) -> float:
+    """Return seconds per execution of ``f(*args)`` measured device-side.
+
+    ``f`` must return a single array. A scalar tap of each iteration's
+    output is fed back into the first argument as a numerically-negligible
+    perturbation, which serializes iterations and defeats loop-invariant
+    hoisting without touching the measured op's memory traffic.
+    """
+    def loop(n, *a):
+        x0 = a[0]
+
+        def body(i, carry):
+            x, tap = carry
+            y = f(x, *a[1:])
+            # tap: scalar data dependency; 1e-30 * tap vanishes in bf16/f32
+            # addition but cannot be constant-folded.
+            tap2 = y[(0,) * y.ndim].astype(jnp.float32)
+            x2 = x + (tap2 * 1e-30).astype(x.dtype)
+            return (x2, tap2)
+
+        return jax.lax.fori_loop(0, n, body, (x0, jnp.float32(0)))[1]
+
+    # n is a *traced* loop bound: one compilation serves every iteration
+    # count, so compile time can never leak into the timed region.
+    jloop = jax.jit(loop)
+    if warmup:
+        _ = jax.device_get(jloop(2, *args))
+    t0 = time.perf_counter()
+    r = jloop(iters, *args)
+    _ = jax.device_get(r)
+    dt = time.perf_counter() - t0
+    # Subtract dispatch+sync overhead via a 2-iteration run.
+    t1 = time.perf_counter()
+    _ = jax.device_get(jloop(2, *args))
+    overhead = time.perf_counter() - t1
+    return max(dt - overhead, 1e-12) / max(iters - 2, 1)
+
+
+def format_gemm_report(
+    name: str,
+    dt: float,
+    m: int,
+    n: int,
+    k: int,
+    num_bits: int,
+    hbm_gbps: float,
+    extra_bytes: int = 0,
+) -> str:
+    weight_bytes = k * n * num_bits / 8
+    total = weight_bytes + extra_bytes
+    bw = total / dt / 1e9
+    pct = 100.0 * bw / hbm_gbps
+    tflops = 2 * m * n * k / dt / 1e12
+    return (
+        f"{name}: {dt * 1e6:8.1f} us  {bw:7.1f} GB/s ({pct:5.1f}% roofline)"
+        f"  {tflops:6.2f} TFLOP/s"
+    )

@@ -1,0 +1,140 @@
+"""Kernel numerics tests (role of reference tests/kernel.py).
+
+Preserves the reference's two oracle modes (tests/kernel.py:30-36,105-107):
+  * identity mode — x = I requires bit-exact dequantization round-trip;
+  * random mode   — relative error under dtype thresholds.
+Runs in Pallas interpreter mode on CPU (a correctness capability the CUDA
+reference does not have); the same tests run on hardware with
+FLUTE_TPU_TEST_PLATFORM=tpu.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flute_tpu import packing
+from flute_tpu.ops import lut_gemm
+from flute_tpu.ops.kernel_config import KernelConfig
+from flute_tpu.quantize import nf
+
+# Reference thresholds (tests/kernel.py:12-13); f32 is ours (TPU-native).
+THRESHOLDS = {
+    jnp.dtype(jnp.bfloat16): 1.1e-2,
+    jnp.dtype(jnp.float32): 1e-5,
+}
+
+
+def make_case(m, n, k, bits, group_size, dtype, seed, uniform_table=False):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    if uniform_table:
+        table = jnp.arange(2 ** bits, dtype=jnp.float32) - (2 ** (bits - 1))
+        _, codes_nk, scales_nk = nf.quantize_with_table(
+            jnp.asarray(w), jnp.sort(table), group_size
+        )
+        table = jnp.sort(table)
+    else:
+        _, codes_nk, scales_nk, table = nf.nf_quantize(jnp.asarray(w), bits, group_size)
+    codes = jnp.asarray(codes_nk).T  # [K, N]
+    scales = jnp.asarray(scales_nk).T  # [K//g, N]
+    planes = packing.pack(codes, bits)
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype=dtype)
+    return x, codes, planes, scales.astype(dtype), table
+
+
+def rel_err(y, y_ref):
+    y = np.asarray(y, dtype=np.float64)
+    y_ref = np.asarray(y_ref, dtype=np.float64)
+    denom = np.linalg.norm(y_ref)
+    if denom == 0:
+        return np.linalg.norm(y - y_ref)
+    return np.linalg.norm(y - y_ref) / denom
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4])
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_identity_bit_exact(bits, dtype):
+    """x = I must reproduce the dequantized weight bit-exactly."""
+    n, k, g = 256, 512, 64
+    _, codes, planes, scales, table = make_case(1, n, k, bits, g, dtype, seed=bits)
+    eye = jnp.eye(k, dtype=dtype)
+    y = lut_gemm.lut_qgemm(eye, planes, scales, table, num_bits=bits)
+    expected = lut_gemm.dequantize_codes(codes, scales, table, dtype)
+    np.testing.assert_array_equal(
+        np.asarray(y, dtype=np.float32), np.asarray(expected, dtype=np.float32)
+    )
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4])
+@pytest.mark.parametrize("group_size", [32, 64, 128, 256])
+@pytest.mark.parametrize("m", [1, 3, 16, 64])
+def test_random_threshold(bits, group_size, m):
+    dtype = jnp.bfloat16
+    n, k = 256, 512
+    x, codes, planes, scales, table = make_case(
+        m, n, k, bits, group_size, dtype, seed=bits * 100 + group_size + m
+    )
+    y = lut_gemm.lut_qgemm(x, planes, scales, table, num_bits=bits)
+    y_ref = lut_gemm.lut_qgemm_reference(x, codes, scales, table)
+    assert rel_err(y, y_ref) < THRESHOLDS[jnp.dtype(dtype)]
+
+
+@pytest.mark.parametrize(
+    "config",
+    [
+        KernelConfig(block_m=16, block_n=128, block_k=256),
+        KernelConfig(block_m=32, block_n=256, block_k=512),
+        KernelConfig(block_m=16, block_n=128, block_k=256, lut_mode="select"),
+    ],
+)
+def test_config_variants(config):
+    bits, g, m, n, k = 4, 64, 8, 256, 512
+    dtype = jnp.bfloat16
+    x, codes, planes, scales, table = make_case(m, n, k, bits, g, dtype, seed=42)
+    y = lut_gemm.lut_qgemm(x, planes, scales, table, num_bits=bits, config=config)
+    y_ref = lut_gemm.lut_qgemm_reference(x, codes, scales, table)
+    assert rel_err(y, y_ref) < THRESHOLDS[jnp.dtype(dtype)]
+
+
+def test_batch_dims_flatten():
+    """Leading batch dims are flattened into M (reference qgemm.cpp:107-118)."""
+    bits, g, n, k = 4, 64, 256, 512
+    dtype = jnp.bfloat16
+    x, codes, planes, scales, table = make_case(6, n, k, bits, g, dtype, seed=5)
+    x3 = x.reshape(2, 3, k)
+    y3 = lut_gemm.lut_qgemm(x3, planes, scales, table, num_bits=bits)
+    assert y3.shape == (2, 3, n)
+    y2 = lut_gemm.lut_qgemm(x, planes, scales, table, num_bits=bits)
+    np.testing.assert_array_equal(
+        np.asarray(y3.reshape(6, n), dtype=np.float32),
+        np.asarray(y2, dtype=np.float32),
+    )
+
+
+def test_uniform_table():
+    """Integer (uniform) tables work through the same LUT path."""
+    bits, g, m, n, k = 4, 64, 4, 256, 512
+    dtype = jnp.bfloat16
+    x, codes, planes, scales, table = make_case(
+        m, n, k, bits, g, dtype, seed=9, uniform_table=True
+    )
+    y = lut_gemm.lut_qgemm(x, planes, scales, table, num_bits=bits)
+    y_ref = lut_gemm.lut_qgemm_reference(x, codes, scales, table)
+    assert rel_err(y, y_ref) < THRESHOLDS[jnp.dtype(dtype)]
+
+
+def test_reconstruct_matches_dequant():
+    bits, g, n, k = 4, 64, 256, 512
+    _, codes, planes, scales, table = make_case(1, n, k, bits, g, jnp.float32, seed=3)
+    rec = packing.reconstruct(planes, scales, table, bits)
+    expected = lut_gemm.dequantize_codes(codes, scales, table, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(expected))
+
+
+def test_unpack_via_kernel_recovers_codes():
+    """Kernel-as-its-own-inverse (reference flute/utils.py:379-407)."""
+    bits, g, n, k = 4, 64, 256, 512
+    _, codes, planes, scales, table = make_case(1, n, k, bits, g, jnp.float32, seed=11)
+    rec = packing.unpack_via_kernel(planes, bits, n=n, k=k)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(codes))
