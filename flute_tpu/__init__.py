@@ -15,6 +15,7 @@ plain jittable function taking a ``KernelConfig`` handle instead of
 from flute_tpu.version import __version__
 from flute_tpu.ops.kernel_config import (
     KernelConfig,
+    fit_config,
     get_kernel_config,
     get_candidate_configs,
     is_config_supported,
@@ -24,24 +25,39 @@ from flute_tpu.ops.lut_gemm import (
     lut_qgemm_reference,
     qgemm,
 )
+from flute_tpu.ops.hadamard import (
+    hadamard_transform,
+    qgemm_hadamard,
+)
 from flute_tpu.packing import (
     PackFormat,
     pack,
     unpack,
     reconstruct,
 )
+from flute_tpu.nn import (
+    QuantizedLinear,
+    from_codes,
+    quantize_linear,
+)
 
 __all__ = [
     "__version__",
     "KernelConfig",
+    "fit_config",
     "get_kernel_config",
     "get_candidate_configs",
     "is_config_supported",
     "lut_qgemm",
     "lut_qgemm_reference",
     "qgemm",
+    "hadamard_transform",
+    "qgemm_hadamard",
     "PackFormat",
     "pack",
     "unpack",
     "reconstruct",
+    "QuantizedLinear",
+    "from_codes",
+    "quantize_linear",
 ]

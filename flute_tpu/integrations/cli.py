@@ -1,0 +1,99 @@
+"""Command-line entry points (role of the reference CLI,
+flute/integrations/base.py:370-388):
+
+    python -m flute_tpu.integrations.cli quantize \
+        --model-dir /path/to/hf-llama --output-dir /path/to/out \
+        --num-bits 4 --group-size 64
+
+    python -m flute_tpu.integrations.cli generate \
+        --checkpoint /path/to/out --prompt "..." --max-new-tokens 64
+
+    python -m flute_tpu.integrations.cli bench-kernel --m 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_quantize(args):
+    from flute_tpu.integrations.huggingface import quantize_hf_model
+
+    quantize_hf_model(
+        args.model_dir,
+        args.output_dir,
+        num_bits=args.num_bits,
+        group_size=args.group_size,
+        fake=args.fake,
+        example_batch_size=args.example_batch_size,
+    )
+    print(f"quantized {args.model_dir} -> {args.output_dir}")
+
+
+def _cmd_generate(args):
+    from flute_tpu.integrations.huggingface import load_quantized_model
+    from flute_tpu.serving import Engine
+
+    params, config, sidecar = load_quantized_model(
+        args.checkpoint, batch_size=1, retune=args.retune
+    )
+    if config is None:
+        raise SystemExit("checkpoint lacks config.json; cannot build model")
+
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.checkpoint)
+        ids = tok(args.prompt)["input_ids"]
+    except Exception:
+        ids = [int(t) for t in args.prompt.split()]
+        tok = None
+
+    eng = Engine(
+        params=params, config=config, max_len=args.max_len, batch_size=1
+    )
+    out = eng.generate([ids], max_new_tokens=args.max_new_tokens)
+    if tok is not None:
+        print(tok.decode(out[0]))
+    else:
+        print(out[0])
+
+
+def _cmd_bench_kernel(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="flute_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("quantize", help="quantize an HF checkpoint")
+    q.add_argument("--model-dir", required=True)
+    q.add_argument("--output-dir", required=True)
+    q.add_argument("--num-bits", type=int, default=4)
+    q.add_argument("--group-size", type=int, default=64)
+    q.add_argument("--fake", action="store_true")
+    q.add_argument("--example-batch-size", type=int, default=8)
+    q.set_defaults(fn=_cmd_quantize)
+
+    g = sub.add_parser("generate", help="generate from a quantized checkpoint")
+    g.add_argument("--checkpoint", required=True)
+    g.add_argument("--prompt", required=True)
+    g.add_argument("--max-new-tokens", type=int, default=64)
+    g.add_argument("--max-len", type=int, default=2048)
+    g.add_argument("--retune", action="store_true")
+    g.set_defaults(fn=_cmd_generate)
+
+    b = sub.add_parser("bench-kernel", help="run the kernel benchmark")
+    b.set_defaults(fn=_cmd_bench_kernel)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

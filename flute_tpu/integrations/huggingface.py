@@ -1,0 +1,188 @@
+"""HuggingFace checkpoint interop: load dense HF Llama/Gemma-2 weights into
+the flute-tpu pytree, quantize, and save/load the quantized result.
+
+Role-equivalent of the reference's HF story, redesigned for JAX:
+  * ``load_hf_params`` replaces transformers model surgery
+    (replace_with_flute_linear, reference huggingface.py:86-170) — we read
+    the safetensors shards directly into the functional pytree, no torch
+    module tree involved;
+  * ``quantize_hf_model`` is the quantize-and-save driver (reference
+    base.py:329-367 + CLI :370-388);
+  * ``load_quantized_model`` restores a quantized checkpoint and refits
+    kernel configs for the current deployment (reference
+    _repack_flute_linear, huggingface.py:173-236 — minus the repack, which
+    the TPU layout makes unnecessary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from flute_tpu.integrations import checkpoint as ckpt_io
+from flute_tpu.models import llama as llama_mod
+
+_LAYER_KEYS = {
+    "input_layernorm.weight": ("attn_norm", False),
+    "self_attn.q_proj.weight": ("q", True),
+    "self_attn.k_proj.weight": ("k", True),
+    "self_attn.v_proj.weight": ("v", True),
+    "self_attn.o_proj.weight": ("o", True),
+    "post_attention_layernorm.weight": ("mlp_norm", False),
+    "mlp.gate_proj.weight": ("gate", True),
+    "mlp.up_proj.weight": ("up", True),
+    "mlp.down_proj.weight": ("down", True),
+}
+
+
+def _open_safetensor_shards(model_dir: str):
+    from safetensors import safe_open
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)["weight_map"]
+        shards = {}
+        for name, shard in index.items():
+            shards.setdefault(shard, []).append(name)
+        for shard in sorted(shards):
+            with safe_open(os.path.join(model_dir, shard), framework="np") as f:
+                for name in shards[shard]:
+                    yield name, f.get_tensor(name)
+    else:
+        path = os.path.join(model_dir, "model.safetensors")
+        with safe_open(path, framework="np") as f:
+            for name in f.keys():
+                yield name, f.get_tensor(name)
+
+
+def config_from_hf(model_dir: str) -> "llama_mod.LlamaConfig":
+    """Translate an HF config.json into a LlamaConfig."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    rope_scaling = hf.get("rope_scaling") or {}
+    scaling_type = rope_scaling.get("rope_type") or rope_scaling.get("type")
+    return llama_mod.LlamaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        head_dim=hf.get(
+            "head_dim", hf["hidden_size"] // hf["num_attention_heads"]
+        ),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling_factor=(
+            rope_scaling.get("factor") if scaling_type == "llama3" else None
+        ),
+        rope_low_freq_factor=rope_scaling.get("low_freq_factor", 1.0),
+        rope_high_freq_factor=rope_scaling.get("high_freq_factor", 4.0),
+        rope_original_max_position=rope_scaling.get(
+            "original_max_position_embeddings", 8192
+        ),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+def _to_jnp(arr: np.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if arr.dtype == np.uint16 or str(arr.dtype) == "bfloat16":
+        return jnp.asarray(arr).view(jnp.bfloat16).astype(dtype)
+    return jnp.asarray(arr).astype(dtype)
+
+
+def load_hf_params(model_dir: str, config=None, dtype=jnp.bfloat16) -> dict:
+    """Read an HF Llama-family safetensors checkpoint into the flute-tpu
+    params pytree (linear leaves transposed to [in, out])."""
+    config = config or config_from_hf(model_dir)
+    layers = [dict() for _ in range(config.num_layers)]
+    params: dict = {"layers": layers, "lm_head": None}
+    for name, tensor in _open_safetensor_shards(model_dir):
+        if name == "model.embed_tokens.weight":
+            params["embed"] = _to_jnp(tensor, dtype)
+        elif name == "model.norm.weight":
+            params["final_norm"] = _to_jnp(tensor, dtype)
+        elif name == "lm_head.weight":
+            params["lm_head"] = _to_jnp(tensor, dtype).T
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            li, sub = rest.split(".", 1)
+            if sub not in _LAYER_KEYS:
+                continue
+            key, is_linear = _LAYER_KEYS[sub]
+            t = _to_jnp(tensor, dtype)
+            layers[int(li)][key] = t.T if is_linear else t
+        # rotary inv_freq buffers etc. are recomputed, not loaded
+    if config.tie_word_embeddings:
+        params["lm_head"] = None
+    return params
+
+
+def quantize_hf_model(
+    model_dir: str,
+    output_dir: str,
+    num_bits: int = 4,
+    group_size: int = 64,
+    *,
+    fake: bool = False,
+    example_batch_size: int = 8,
+    dtype=jnp.bfloat16,
+) -> None:
+    """Load → NF-quantize → save with sidecar (reference quantize_hf_model,
+    base.py:329-367). ``fake=True`` saves the fake-quantized dense model
+    instead (the reference's testing mode, base.py:85-102)."""
+    config = config_from_hf(model_dir)
+    params = load_hf_params(model_dir, config, dtype)
+    if fake:
+        from flute_tpu.quantize import nf
+
+        for layer in params["layers"]:
+            for key in llama_mod._PROJ_KEYS:
+                w = jnp.asarray(layer[key]).T
+                layer[key] = nf.nf_quantize_fake(w, num_bits, group_size, dtype).T
+        qparams = params
+    else:
+        qparams = llama_mod.quantize_model(
+            params, num_bits, group_size, example_batch_size=example_batch_size
+        )
+    ckpt_io.save_quantized(
+        output_dir,
+        qparams,
+        model_config={"model_type": "llama", "source": model_dir},
+        num_bits=num_bits,
+        group_size=group_size,
+    )
+    # copy tokenizer/config files alongside for a self-contained checkpoint
+    for fname in ("config.json", "tokenizer.json", "tokenizer_config.json"):
+        src = os.path.join(model_dir, fname)
+        if os.path.exists(src):
+            import shutil
+
+            shutil.copy(src, os.path.join(output_dir, fname))
+
+
+def load_quantized_model(
+    path: str, *, batch_size: Optional[int] = None, retune: bool = False
+) -> tuple[dict, Any, dict]:
+    """Load a quantized checkpoint; returns (params, LlamaConfig, sidecar).
+
+    With ``retune=True``, re-tunes each layer's kernel config for
+    ``batch_size`` on the current device (reference repack-on-load flow,
+    huggingface.py:173-236 — here a pure metadata update)."""
+    params, sidecar = ckpt_io.load_quantized(path)
+    hf_config_path = os.path.join(path, "config.json")
+    config = config_from_hf(path) if os.path.exists(hf_config_path) else None
+    if retune and batch_size is not None:
+        from flute_tpu import tune
+        from flute_tpu.nn import QuantizedLinear
+
+        for layer in params["layers"]:
+            for key, v in list(layer.items()):
+                if isinstance(v, QuantizedLinear):
+                    layer[key] = tune.tune_linear(v, batch_size)
+    return params, config, sidecar

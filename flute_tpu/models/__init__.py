@@ -1,0 +1,3 @@
+from flute_tpu.models import llama
+
+__all__ = ["llama"]

@@ -1,0 +1,245 @@
+"""Gemma-2 model family — TPU-native, LUT-quantized.
+
+The second model family of the reference's zoo (Gemma-2 9B/27B,
+reference README.md:330-348; supported via HF/vLLM module swapping).
+Architectural deltas vs Llama (all implemented):
+  * embeddings scaled by sqrt(hidden) and tied lm_head;
+  * RMSNorm with the (1 + w) convention;
+  * sandwich norms: post-attention and post-feedforward norms applied to
+    the sublayer output *before* the residual add;
+  * GeGLU MLP (tanh-approx GELU on the gate);
+  * attention logit soft-capping and final logit soft-capping;
+  * alternating sliding-window / global attention layers;
+  * query scaling by 1/sqrt(query_pre_attn_scalar) instead of head_dim.
+
+Reuses the Llama building blocks (apply_linear dispatches over
+QuantizedLinear / dense leaves; same KV-cache contract, same TP psum
+points) so everything in flute_tpu.parallel and flute_tpu.serving works
+unchanged with ``forward=gemma2.forward``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flute_tpu.models import llama as _llama
+from flute_tpu.models.llama import (
+    apply_linear,
+    apply_rope,
+    gqa_attention,
+    rope_tables,
+)
+from flute_tpu.nn import QuantizedLinear
+
+
+@dataclasses.dataclass(frozen=True)
+class Gemma2Config:
+    vocab_size: int = 256128
+    hidden_size: int = 3584
+    intermediate_size: int = 14336
+    num_layers: int = 42
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    head_dim: int = 256
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    query_pre_attn_scalar: float = 256.0
+    attn_logit_softcap: float = 50.0
+    final_logit_softcap: float = 30.0
+    sliding_window: int = 4096
+    dtype: Any = jnp.bfloat16
+    # rope-scaling fields for llama.rope_tables compatibility (unused)
+    rope_scaling_factor: Optional[float] = None
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+
+    @staticmethod
+    def gemma2_9b() -> "Gemma2Config":
+        return Gemma2Config()
+
+    @staticmethod
+    def gemma2_27b() -> "Gemma2Config":
+        return Gemma2Config(
+            hidden_size=4608,
+            intermediate_size=36864,
+            num_layers=46,
+            num_heads=32,
+            num_kv_heads=16,
+            head_dim=128,
+            query_pre_attn_scalar=144.0,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "Gemma2Config":
+        return Gemma2Config(
+            vocab_size=vocab_size,
+            hidden_size=256,
+            intermediate_size=512,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=128,
+            sliding_window=8,
+        )
+
+
+def rms_norm_gemma(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """Gemma convention: scale by (1 + w), statistics in f32."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * (1.0 + weight.astype(jnp.float32))).astype(x.dtype)
+
+
+def _block(
+    params: dict,
+    config: Gemma2Config,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    pos: jax.Array,
+    mask: jax.Array,  # [B, T, S] already includes sliding window if any
+    axis_name: Optional[str] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    b, t, _ = x.shape
+    d = config.head_dim
+    h = rms_norm_gemma(x, params["attn_norm"], config.rms_norm_eps)
+    q = apply_linear(params["q"], h).reshape(b, t, -1, d)
+    k = apply_linear(params["k"], h).reshape(b, t, -1, d)
+    v = apply_linear(params["v"], h).reshape(b, t, -1, d)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0)
+    )
+    attn = gqa_attention(
+        q,
+        k_cache,
+        v_cache,
+        mask,
+        scale=config.query_pre_attn_scalar**-0.5,
+        logit_softcap=config.attn_logit_softcap,
+    )
+    o = apply_linear(params["o"], attn.reshape(b, t, -1))
+    if axis_name is not None:
+        o = jax.lax.psum(o, axis_name)
+    o = rms_norm_gemma(o, params["post_attn_norm"], config.rms_norm_eps)
+    x = x + o
+
+    h = rms_norm_gemma(x, params["mlp_norm"], config.rms_norm_eps)
+    gate = apply_linear(params["gate"], h)
+    up = apply_linear(params["up"], h)
+    down = apply_linear(
+        params["down"], jax.nn.gelu(gate, approximate=True) * up
+    )
+    if axis_name is not None:
+        down = jax.lax.psum(down, axis_name)
+    down = rms_norm_gemma(down, params["post_mlp_norm"], config.rms_norm_eps)
+    x = x + down
+    return x, k_cache, v_cache
+
+
+def init_cache(config: Gemma2Config, batch: int, max_len: int, dtype=None) -> dict:
+    dtype = dtype or config.dtype
+    shape = (config.num_layers, batch, max_len, config.num_kv_heads, config.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def forward(
+    params: dict,
+    config: Gemma2Config,
+    tokens: jax.Array,
+    cache: dict,
+    pos: jax.Array,
+    position_offsets: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> tuple[jax.Array, dict]:
+    """Same contract as llama.forward — drop-in for Engine/greedy_generate
+    and flute_tpu.parallel.tp_forward_fn."""
+    b, t = tokens.shape
+    s = cache["k"].shape[2]
+    x = params["embed"][tokens].astype(config.dtype)
+    x = x * jnp.asarray(config.hidden_size**0.5, config.dtype)
+
+    slots = pos + jnp.arange(t, dtype=jnp.int32)[None, :]
+    if position_offsets is None:
+        positions = jnp.broadcast_to(slots, (b, t))
+    else:
+        positions = jnp.maximum(slots - position_offsets[:, None], 0)
+    cos, sin = rope_tables(config, positions)
+
+    js = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+    causal = jnp.broadcast_to(js <= slots[:, :, None], (b, t, s))
+    if position_offsets is not None:
+        causal = causal & (js >= position_offsets[:, None, None])
+    # sliding-window variant: only the last `window` slots are visible
+    window_mask = causal & (js > slots[:, :, None] - config.sliding_window)
+
+    ks, vs = [], []
+    for li, layer in enumerate(params["layers"]):
+        mask = window_mask if li % 2 == 0 else causal  # even layers slide (HF order)
+        x, k_l, v_l = _block(
+            layer, config, x, cos, sin, cache["k"][li], cache["v"][li], pos, mask,
+            axis_name=axis_name,
+        )
+        ks.append(k_l)
+        vs.append(v_l)
+    new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+
+    x = rms_norm_gemma(x, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.dot(
+        x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    cap = config.final_logit_softcap
+    logits = jnp.tanh(logits / cap) * cap
+    return logits.astype(jnp.float32), new_cache
+
+
+def init_params(config: Gemma2Config, rng=0, scale: float = 0.02) -> dict:
+    if isinstance(rng, int):
+        rng = np.random.default_rng(rng)
+    c = config
+    qdim = c.num_heads * c.head_dim
+    kvdim = c.num_kv_heads * c.head_dim
+
+    def lin(k_in, n_out):
+        return jnp.asarray(rng.standard_normal((k_in, n_out)) * scale, dtype=c.dtype)
+
+    layers = []
+    for _ in range(c.num_layers):
+        layers.append(
+            {
+                "attn_norm": jnp.zeros((c.hidden_size,), c.dtype),
+                "q": lin(c.hidden_size, qdim),
+                "k": lin(c.hidden_size, kvdim),
+                "v": lin(c.hidden_size, kvdim),
+                "o": lin(qdim, c.hidden_size),
+                "post_attn_norm": jnp.zeros((c.hidden_size,), c.dtype),
+                "mlp_norm": jnp.zeros((c.hidden_size,), c.dtype),
+                "gate": lin(c.hidden_size, c.intermediate_size),
+                "up": lin(c.hidden_size, c.intermediate_size),
+                "down": lin(c.intermediate_size, c.hidden_size),
+                "post_mlp_norm": jnp.zeros((c.hidden_size,), c.dtype),
+            }
+        )
+    return {
+        "embed": jnp.asarray(
+            rng.standard_normal((c.vocab_size, c.hidden_size)) * scale, dtype=c.dtype
+        ),
+        "layers": layers,
+        "final_norm": jnp.zeros((c.hidden_size,), c.dtype),
+    }
+
+
+quantize_model = _llama.quantize_model  # same projection keys, same walker

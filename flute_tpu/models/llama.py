@@ -1,0 +1,405 @@
+"""Llama-3/3.1 model family — TPU-native, LUT-quantized.
+
+The reference never implements a model: it swaps ``FluteLinear`` into
+HF/vLLM Llama modules (flute/integrations/base.py:45-200,
+vllm_utils.py:119-226) and rides their forward pass. A standalone TPU
+framework needs its own: this is a functional JAX Llama whose seven
+projection matrices per block are :class:`flute_tpu.nn.QuantizedLinear`
+leaves (or dense ``[in, out]`` arrays for the fake-quant/unquantized
+baselines the reference's tests compare against, tests/vllm.py:57-82).
+
+Design notes (TPU-first):
+  * static shapes everywhere — prefill handles a fixed chunk, decode is a
+    T=1 step against a preallocated KV cache; positions are explicit;
+  * f32 softmax / RMSNorm statistics, bf16 everywhere else (MXU native);
+  * GQA via reshape to [B, T, Hkv, rep, D] einsums — XLA maps these onto
+    the MXU without materializing repeated KV;
+  * the per-layer python loop unrolls under jit (quantized leaves have
+    heterogeneous packed shapes, so lax.scan over stacked params does not
+    apply);
+  * tensor-parallel sharding is expressed as a PartitionSpec pytree from
+    :func:`flute_tpu.parallel.llama_partition_specs` — the model code is
+    SPMD-transparent.
+
+Supported configs mirror the reference's model zoo (README.md:244-249):
+Llama-3/3.1 8B/70B/405B.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flute_tpu.nn import QuantizedLinear
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    # Llama-3.1 rope scaling ("llama3" type); None disables.
+    rope_scaling_factor: Optional[float] = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        return LlamaConfig(rope_scaling_factor=None)
+
+    @staticmethod
+    def llama31_8b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def llama31_70b() -> "LlamaConfig":
+        return LlamaConfig(
+            hidden_size=8192,
+            intermediate_size=28672,
+            num_layers=80,
+            num_heads=64,
+            num_kv_heads=8,
+        )
+
+    @staticmethod
+    def llama31_405b() -> "LlamaConfig":
+        return LlamaConfig(
+            hidden_size=16384,
+            intermediate_size=53248,
+            num_layers=126,
+            num_heads=128,
+            num_kv_heads=8,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "LlamaConfig":
+        """A miniature config for tests / compile checks: real architecture
+        (GQA, RoPE scaling, SwiGLU), toy sizes aligned to pack chunks."""
+        return LlamaConfig(
+            vocab_size=vocab_size,
+            hidden_size=256,
+            intermediate_size=512,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=128,  # keeps TP-local N >= 128 lanes at tp=2
+        )
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def apply_linear(layer, x: jax.Array) -> jax.Array:
+    """Dispatch over linear-leaf kinds: callable module (QuantizedLinear,
+    LearnableQuantizedLinear) | dense [in, out] array."""
+    if callable(layer) and not isinstance(layer, (jax.Array, np.ndarray)):
+        return layer(x)
+    return jnp.dot(x, layer.astype(x.dtype), preferred_element_type=jnp.float32).astype(
+        x.dtype
+    )
+
+
+def _rope_inv_freq(config: LlamaConfig) -> np.ndarray:
+    d = config.head_dim
+    inv = 1.0 / (config.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    if config.rope_scaling_factor is not None:
+        # Llama-3.1 NTK-by-parts scaling (matches HF "llama3" rope type).
+        factor = config.rope_scaling_factor
+        low = config.rope_original_max_position / config.rope_low_freq_factor
+        high = config.rope_original_max_position / config.rope_high_freq_factor
+        wavelen = 2 * np.pi / inv
+        smooth = (config.rope_original_max_position / wavelen - config.rope_low_freq_factor) / (
+            config.rope_high_freq_factor - config.rope_low_freq_factor
+        )
+        smooth = np.clip(smooth, 0.0, 1.0)
+        scaled = (1 - smooth) * inv / factor + smooth * inv
+        inv = np.where(wavelen > low, inv / factor, np.where(wavelen < high, inv, scaled))
+    return inv.astype(np.float32)
+
+
+def rope_tables(config: LlamaConfig, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables ``[B, T, head_dim//2]`` for integer positions [B, T]."""
+    inv = jnp.asarray(_rope_inv_freq(config))
+    ang = positions.astype(jnp.float32)[..., None] * inv  # [B, T, D/2]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate ``[B, T, H, D]`` with per-(B,T) cos/sin [B, T, D/2].
+
+    Uses the half-split convention (x1 = first half, x2 = second half),
+    matching HF Llama.
+    """
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def gqa_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,  # [B, S, Hkv, D]
+    v: jax.Array,  # [B, S, Hkv, D]
+    mask: jax.Array,  # [B, T, S] bool (True = attend)
+    *,
+    scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
+) -> jax.Array:
+    b, t, h, d = q.shape
+    hkv = k.shape[2]
+    rep = h // hkv
+    qg = q.reshape(b, t, hkv, rep, d)
+    scale = scale if scale is not None else d**-0.5
+    scores = jnp.einsum(
+        "bthrd,bshd->bhrts", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    if logit_softcap is not None:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhrts,bshd->bthrd", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(b, t, h, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_cache(
+    config: LlamaConfig, batch: int, max_len: int, dtype=None
+) -> dict:
+    """Preallocated per-layer KV cache; functional updates via
+    dynamic_update_slice keep shapes static under jit."""
+    dtype = dtype or config.dtype
+    shape = (config.num_layers, batch, max_len, config.num_kv_heads, config.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+    }
+
+
+def _cache_update(cache_layer: jax.Array, new: jax.Array, pos: jax.Array) -> jax.Array:
+    """Write ``new`` [B, T, Hkv, D] into the cache at position ``pos``."""
+    return jax.lax.dynamic_update_slice(
+        cache_layer, new.astype(cache_layer.dtype), (0, pos, 0, 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def _block(
+    params: dict,
+    config: LlamaConfig,
+    x: jax.Array,  # [B, T, hidden]
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache: jax.Array,  # [B, S, Hkv_local, D]
+    v_cache: jax.Array,
+    pos: jax.Array,  # scalar int32 write offset
+    mask: jax.Array,  # [B, T, S]
+    axis_name: Optional[str] = None,  # tp axis inside shard_map
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One transformer block. Under tensor parallelism (``axis_name`` set,
+    running inside shard_map) q/k/v/gate/up are column-partitioned and
+    o/down row-partitioned, with a single psum after each row-parallel
+    matmul — Megatron-style TP with exactly two collectives per block,
+    riding ICI (role of the reference's vLLM TP delegation, SURVEY §2.3).
+    Head counts come from local tensor shapes, so the same code runs
+    sharded and unsharded."""
+    b, t, _ = x.shape
+    d = config.head_dim
+    h = rms_norm(x, params["attn_norm"], config.rms_norm_eps)
+    q = apply_linear(params["q"], h).reshape(b, t, -1, d)
+    k = apply_linear(params["k"], h).reshape(b, t, -1, d)
+    v = apply_linear(params["v"], h).reshape(b, t, -1, d)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    k_cache = _cache_update(k_cache, k, pos)
+    v_cache = _cache_update(v_cache, v, pos)
+    attn = gqa_attention(q, k_cache, v_cache, mask)
+    o = apply_linear(params["o"], attn.reshape(b, t, -1))
+    if axis_name is not None:
+        o = jax.lax.psum(o, axis_name)
+    x = x + o
+
+    h = rms_norm(x, params["mlp_norm"], config.rms_norm_eps)
+    gate = apply_linear(params["gate"], h)
+    up = apply_linear(params["up"], h)
+    down = apply_linear(params["down"], jax.nn.silu(gate) * up)
+    if axis_name is not None:
+        down = jax.lax.psum(down, axis_name)
+    x = x + down
+    return x, k_cache, v_cache
+
+
+def forward(
+    params: dict,
+    config: LlamaConfig,
+    tokens: jax.Array,  # [B, T] int32
+    cache: dict,
+    pos: jax.Array,  # scalar int32: cache slot of tokens[:, 0]
+    position_offsets: Optional[jax.Array] = None,  # [B] int32 left-pad widths
+    axis_name: Optional[str] = None,  # tp axis when running inside shard_map
+) -> tuple[jax.Array, dict]:
+    """Run the model over a token chunk, returning logits [B, T, vocab] and
+    the updated cache. Works for prefill (T = chunk) and decode (T = 1).
+
+    Ragged batches are handled by *left-padding* prompts: sequence i's
+    real tokens start at slot ``position_offsets[i]``; its RoPE position at
+    slot j is ``j - position_offsets[i]`` and slots before the offset are
+    masked out of attention permanently.
+    """
+    b, t = tokens.shape
+    s = cache["k"].shape[2]
+    x = params["embed"][tokens].astype(config.dtype)
+
+    slots = pos + jnp.arange(t, dtype=jnp.int32)[None, :]  # [1, T]
+    if position_offsets is None:
+        positions = jnp.broadcast_to(slots, (b, t))
+    else:
+        positions = jnp.maximum(slots - position_offsets[:, None], 0)
+    cos, sin = rope_tables(config, positions)
+
+    # mask[b, i, j]: query in slot pos+i attends cache slot j iff j <= pos+i
+    # and j is not a left-pad slot.
+    js = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+    mask = jnp.broadcast_to(js <= slots[:, :, None], (b, t, s))
+    if position_offsets is not None:
+        mask = mask & (js >= position_offsets[:, None, None])
+
+    ks, vs = [], []
+    for li, layer in enumerate(params["layers"]):
+        x, k_l, v_l = _block(
+            layer, config, x, cos, sin, cache["k"][li], cache["v"][li], pos, mask,
+            axis_name=axis_name,
+        )
+        ks.append(k_l)
+        vs.append(v_l)
+    new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+    logits = jnp.dot(
+        x, head.astype(x.dtype), preferred_element_type=jnp.float32
+    ) if not isinstance(head, QuantizedLinear) else head(x)
+    return logits.astype(jnp.float32), new_cache
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests / benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    config: LlamaConfig, rng: np.random.Generator | int = 0, scale: float = 0.02
+) -> dict:
+    """Dense random params in the model's pytree layout.
+
+    Linear leaves are ``[in, out]`` arrays (transpose of HF's [out, in]) so
+    they can be fed directly to ``x @ w``; :func:`quantize_model` converts
+    them to :class:`QuantizedLinear`.
+    """
+    if isinstance(rng, int):
+        rng = np.random.default_rng(rng)
+    c = config
+    qdim = c.num_heads * c.head_dim
+    kvdim = c.num_kv_heads * c.head_dim
+
+    def lin(k_in, n_out):
+        return jnp.asarray(
+            rng.standard_normal((k_in, n_out)) * scale, dtype=c.dtype
+        )
+
+    layers = []
+    for _ in range(c.num_layers):
+        layers.append(
+            {
+                "attn_norm": jnp.ones((c.hidden_size,), c.dtype),
+                "q": lin(c.hidden_size, qdim),
+                "k": lin(c.hidden_size, kvdim),
+                "v": lin(c.hidden_size, kvdim),
+                "o": lin(qdim, c.hidden_size),
+                "mlp_norm": jnp.ones((c.hidden_size,), c.dtype),
+                "gate": lin(c.hidden_size, c.intermediate_size),
+                "up": lin(c.hidden_size, c.intermediate_size),
+                "down": lin(c.intermediate_size, c.hidden_size),
+            }
+        )
+    return {
+        "embed": jnp.asarray(
+            rng.standard_normal((c.vocab_size, c.hidden_size)) * scale, dtype=c.dtype
+        ),
+        "layers": layers,
+        "final_norm": jnp.ones((c.hidden_size,), c.dtype),
+        "lm_head": None
+        if c.tie_word_embeddings
+        else lin(c.hidden_size, c.vocab_size),
+    }
+
+
+_PROJ_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def quantize_model(
+    params: dict,
+    num_bits: int = 4,
+    group_size: int = 64,
+    *,
+    example_batch_size: int = 8,
+    chunk: Optional[int] = None,
+) -> dict:
+    """Quantize every projection matrix in a Llama params pytree (the seven
+    per-block linears; embeddings / norms / lm_head stay dense — same layer
+    selection as the reference, flute/integrations/base.py:72-79 skipping
+    lm_head via module name)."""
+    from flute_tpu import packing
+    from flute_tpu.nn import quantize_linear
+
+    kw = {}
+    if chunk is not None:
+        kw["chunk"] = chunk
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        new_layer = dict(layer)
+        for key in _PROJ_KEYS:
+            w = layer[key]
+            if isinstance(w, QuantizedLinear):
+                new_layer[key] = w
+                continue
+            new_layer[key] = quantize_linear(
+                jnp.asarray(w).T,  # [in, out] -> [out, in] for quantization
+                num_bits,
+                group_size,
+                example_batch_size=example_batch_size,
+                **kw,
+            )
+        out["layers"].append(new_layer)
+    return out

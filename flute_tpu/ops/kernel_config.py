@@ -136,6 +136,41 @@ def _round_up(x: int, mult: int) -> int:
     return (x + mult - 1) // mult * mult
 
 
+def fit_config(
+    config: KernelConfig,
+    m: int,
+    n: int,
+    k: int,
+    num_bits: int,
+    group_size: int,
+) -> KernelConfig:
+    """Shrink a config's block shapes so they divide an actual (possibly
+    sharded) problem shape, preserving chunk and lut_mode.
+
+    Needed because config metadata persists with weights (like the
+    reference's template_id) but the *local* shape changes under tensor
+    parallelism / resharding — the reference re-tunes in that situation
+    (flute/tune.py:534-591); we refit statically and let the tuner refine.
+    """
+    bn = config.block_n
+    while bn > 128 and n % bn != 0:
+        bn //= 2
+    if n % bn != 0:
+        raise ValueError(f"N={n} has no 128-multiple block divisor")
+    step = max(config.chunk, group_size)
+    bk = config.block_k
+    while bk > step and k % bk != 0:
+        bk //= 2
+    if k % bk != 0 or bk % config.chunk or bk % group_size:
+        raise ValueError(
+            f"K={k} incompatible with chunk={config.chunk} group={group_size}"
+        )
+    bm = min(config.block_m, _round_up(max(m, 1), 16))  # bf16 sublane tile
+    if bn == config.block_n and bk == config.block_k and bm == config.block_m:
+        return config
+    return dataclasses.replace(config, block_m=bm, block_n=bn, block_k=bk)
+
+
 def get_kernel_config(
     m: int,
     n: int,

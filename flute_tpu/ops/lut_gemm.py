@@ -56,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flute_tpu import bitutils
 from flute_tpu.ops.kernel_config import (
     KernelConfig,
+    fit_config,
     get_kernel_config,
 )
 
@@ -576,6 +577,8 @@ def lut_qgemm(
 
     if config is None:
         config = get_kernel_config(m, n, k, num_bits, group_size)
+    else:
+        config = fit_config(config, m, n, k, num_bits, group_size)
     if pair_values is not None and config.lut_mode != "pair_lut":
         config = KernelConfig(
             block_m=config.block_m,

@@ -1,0 +1,198 @@
+"""Tensor-parallel execution of quantized models over a JAX device mesh.
+
+The reference's entire distributed story is its vLLM plug-in: NCCL
+all-gather of packed int16 weights (with an int32 cast workaround),
+unpack on every rank, re-shard, re-pack (reference:
+flute/integrations/vllm_utils.py:228-326), because its bit layout
+interleaves codes across tiles spanning the whole matrix.
+
+The TPU rebuild makes that dance unnecessary *by design*: the pack layout
+(flute_tpu/packing.py) is chunked along K and independent per N column, so
+
+  * N-sharding a packed plane = slicing its lane axis (always valid);
+  * K-sharding = slicing whole row-chunks (valid when the local K length is
+    a multiple of the pack chunk).
+
+A PartitionSpec on the packed arrays IS the resharding. Megatron-style TP:
+q/k/v/gate/up column-parallel, o/down row-parallel with one psum each
+(llama._block), KV cache sharded over heads. Collectives are XLA psums over
+the ICI mesh axis — no NCCL, no dtype workarounds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flute_tpu.nn import QuantizedLinear
+from flute_tpu.packing import DEFAULT_CHUNK
+
+# Column-parallel (shard out-features) vs row-parallel (shard in-features)
+# projection names in the Llama/Gemma block layout.
+COL_PARALLEL = ("q", "k", "v", "gate", "up")
+ROW_PARALLEL = ("o", "down")
+
+
+def make_mesh(
+    tp: Optional[int] = None,
+    dp: int = 1,
+    *,
+    devices=None,
+    axis_names: tuple[str, str] = ("dp", "tp"),
+) -> Mesh:
+    """Build a (dp, tp) mesh. Defaults to all devices on the tp axis —
+    the reference's single-host TP topology (README.md:244-249), but over
+    ICI instead of NVLink."""
+    devices = devices if devices is not None else jax.devices()
+    if tp is None:
+        tp = len(devices) // dp
+    if dp * tp > len(devices):
+        raise ValueError(f"dp={dp} * tp={tp} > {len(devices)} devices")
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, axis_names)
+
+
+def _proj_of_path(path) -> Optional[str]:
+    """Extract the projection name ('q', 'down', ...) from a tree path."""
+    for entry in path:
+        key = getattr(entry, "key", None)
+        if key is None:
+            key = getattr(entry, "name", None)
+        if key in COL_PARALLEL or key in ROW_PARALLEL:
+            return key
+    return None
+
+
+def _field_of_path(path) -> Optional[str]:
+    """Name of the QuantizedLinear dataclass field the leaf belongs to."""
+    for entry in reversed(path):
+        name = getattr(entry, "name", None)
+        if name in ("planes", "scales", "table", "pair_values", "bias", "weight"):
+            return name
+        key = getattr(entry, "key", None)
+        if key in ("planes", "scales", "table", "pair_values", "bias", "weight"):
+            return key
+    return None
+
+
+def llama_partition_specs(params: Any, tp_axis: str = "tp") -> Any:
+    """PartitionSpec pytree for a Llama-layout params tree (dense,
+    quantized, or learnable leaves).
+
+    Sharding rules (Megatron TP):
+      * col-parallel projections: out-features (last axis) over ``tp_axis``;
+      * row-parallel projections: in-features (K) over ``tp_axis`` — for
+        packed planes/scales that is axis 0 (the K-chunk row axis);
+      * tables / pair tables / norms / embeddings / lm_head: replicated.
+    """
+
+    def spec_for(path, leaf):
+        proj = _proj_of_path(path)
+        if proj is None:
+            return P()  # embed, norms, lm_head: replicated
+        field = _field_of_path(path)
+        ndim = getattr(leaf, "ndim", None)
+        if field == "table" or field == "pair_values":
+            return P()
+        if proj in COL_PARALLEL:
+            if field == "bias":
+                return P(tp_axis)
+            if ndim == 2:
+                return P(None, tp_axis)  # planes/scales/dense [K?, N]
+            return P()
+        # row-parallel: shard K (axis 0 of [K, N]-oriented tensors)
+        if field == "bias":
+            return P()  # added once post-psum is wrong mid-kernel; Llama has none
+        if field == "scales" or field == "planes" or field == "weight" or ndim == 2:
+            return P(tp_axis, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def cache_partition_spec(tp_axis: str = "tp", dp_axis: Optional[str] = "dp") -> Any:
+    """KV cache [L, B, S, Hkv, D]: batch over dp, heads over tp."""
+    return {
+        "k": P(None, dp_axis, None, tp_axis, None),
+        "v": P(None, dp_axis, None, tp_axis, None),
+    }
+
+
+def validate_tp(params: Any, config, tp: int, chunk: int = DEFAULT_CHUNK) -> None:
+    """Check a Llama params tree can be TP-sharded ``tp`` ways: head counts
+    and packed K-chunks must divide (the analogue of the reference's
+    supported-TP table, README.md:244-249, but checked, not documented)."""
+    if config.num_kv_heads % tp != 0:
+        raise ValueError(f"num_kv_heads={config.num_kv_heads} not divisible by tp={tp}")
+    if config.num_heads % tp != 0:
+        raise ValueError(f"num_heads={config.num_heads} not divisible by tp={tp}")
+
+    def check(path, leaf):
+        proj = _proj_of_path(path)
+        if proj in ROW_PARALLEL and isinstance(leaf, QuantizedLinear):
+            k = leaf.in_features
+            cfg = leaf.config
+            c = cfg.chunk if cfg is not None else chunk
+            if (k // tp) % c != 0:
+                raise ValueError(
+                    f"{proj}: local K={k}//{tp} not a multiple of pack chunk {c}"
+                )
+            if leaf.bias is not None:
+                raise ValueError(f"{proj}: bias on a row-parallel layer is unsupported")
+        return leaf
+
+    jax.tree_util.tree_map_with_path(
+        check, params, is_leaf=lambda x: isinstance(x, QuantizedLinear)
+    )
+
+
+def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
+    """Place a params pytree onto the mesh with TP shardings."""
+    if specs is None:
+        specs = llama_partition_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def tp_forward_fn(config, mesh: Mesh, params_specs: Any, *, forward=None):
+    """Build a jitted tensor(+data)-parallel forward step via shard_map.
+
+    Returns ``f(params, tokens, cache, pos, position_offsets) ->
+    (logits, new_cache)`` with tokens/cache batch-sharded over dp and
+    heads/features over tp. Collectives (two psums per block) ride the
+    mesh's ICI links.
+    """
+    try:
+        from jax import shard_map as _sm
+
+        shard_map = functools.partial(_sm, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = functools.partial(_sm, check_rep=False)
+
+    from flute_tpu.models import llama
+
+    fwd = forward or llama.forward
+    cache_spec = cache_partition_spec()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(params_specs, P("dp"), cache_spec, P(), P("dp")),
+        out_specs=(P("dp"), cache_spec),
+    )
+    def sharded(params, tokens, cache, pos, offsets):
+        return fwd(params, config, tokens, cache, pos[0], offsets, axis_name="tp")
+
+    @jax.jit
+    def step(params, tokens, cache, pos, offsets):
+        return sharded(params, tokens, cache, jnp.asarray([pos], jnp.int32), offsets)
+
+    return step

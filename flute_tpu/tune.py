@@ -1,0 +1,264 @@
+"""Per-shape kernel-config auto-tuning with persisted metadata.
+
+Role-equivalent of the reference's ``flute/tune.py``: benchmark every
+candidate config for a GEMM shape, pick the fastest, persist the choice
+next to the weights, and re-fit when the deployment shape changes
+(``tune_and_pack`` tune.py:395-474, ``maybe_tune_and_repack``
+tune.py:534-591, ``TuneMetaData`` tune.py:30-52).
+
+Key structural simplification the TPU design buys: the pack layout depends
+only on the *chunk*, not on the kernel block shapes — so re-tuning NEVER
+requires repacking (the reference must unpack→repack because its layout is
+template-specific). ``maybe_retune`` just swaps ``config_key``.
+
+Timing uses the serialized-fori_loop device benchmark
+(flute_tpu/utils/benchmark.py), the tunnel-safe analogue of the reference's
+``triton.testing.do_bench`` (tune.py:82-109). Correctness verification of
+the chosen config keeps the reference's two oracles (identity = bit-exact,
+random = threshold; tune.py:294-392).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flute_tpu import packing
+from flute_tpu.ops import lut_gemm
+from flute_tpu.ops.kernel_config import (
+    KernelConfig,
+    fit_config,
+    get_candidate_configs,
+    get_kernel_config,
+)
+from flute_tpu.utils.benchmark import bench_op
+
+# Reference thresholds (tests/kernel.py:12-13, tune.py:13-14).
+RTOL = {"float16": 2.0e-3, "bfloat16": 1.1e-2, "float32": 1.0e-5}
+
+_VERSION = "v1"
+
+
+@dataclasses.dataclass(frozen=True)
+class TuneMetaData:
+    """Persisted tuning identity (reference tune.py:30-52): enough to know
+    whether a stored config still applies to the current deployment."""
+
+    version: str
+    m: int
+    n: int
+    k: int
+    num_bits: int
+    group_size: int
+    dtype: str
+    device_kind: str
+    config_key: str
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "TuneMetaData":
+        return TuneMetaData(**d)
+
+
+def _memo_key(m, n, k, num_bits, group_size, dtype, device_kind):
+    # Like the reference, decode shapes below one tile share a key
+    # (tune.py:192-202 uses max(M, 16)).
+    return (_VERSION, max(m, 16), n, k, num_bits, group_size, str(dtype), device_kind)
+
+
+_MEMO: dict[tuple, KernelConfig] = {}
+
+
+def _device_kind() -> str:
+    return jax.devices()[0].device_kind
+
+
+def tune_config(
+    m: int,
+    n: int,
+    k: int,
+    num_bits: int,
+    group_size: int,
+    dtype=jnp.bfloat16,
+    *,
+    max_candidates: int = 24,
+    iters: int = 30,
+    use_memo: bool = True,
+) -> KernelConfig:
+    """Benchmark candidate configs for (M, N, K, b, g, dtype) on the current
+    device and return the fastest (reference _tune, tune.py:205-257)."""
+    kind = _device_kind()
+    key = _memo_key(m, n, k, num_bits, group_size, jnp.dtype(dtype).name, kind)
+    if use_memo and key in _MEMO:
+        return _MEMO[key]
+    if jax.default_backend() == "cpu":
+        # Interpreter timings are meaningless; use the static heuristic.
+        cfg = get_kernel_config(m, n, k, num_bits, group_size)
+        _MEMO[key] = cfg
+        return cfg
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 2**num_bits, size=(k, n), dtype=np.int32)
+    planes = [jax.device_put(p) for p in packing.pack(codes, num_bits)]
+    scales = jnp.asarray(rng.uniform(0.5, 1.5, (k // group_size, n)), dtype)
+    table = jnp.asarray(np.sort(rng.standard_normal(2**num_bits)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype)
+
+    candidates = list(get_candidate_configs(m, n, k, num_bits, group_size))
+    # Prioritize around the heuristic default, cap the sweep.
+    default = get_kernel_config(m, n, k, num_bits, group_size)
+    candidates.sort(
+        key=lambda c: (
+            c.key() != default.key(),
+            abs(c.block_n - default.block_n) + abs(c.block_k - default.block_k),
+        )
+    )
+    candidates = candidates[:max_candidates]
+
+    best, best_t = default, float("inf")
+    for cfg in candidates:
+        if cfg.split_k != 1:
+            continue  # split-K path handled by XLA partials; not yet swept
+        try:
+            def f(x_, planes_=planes, scales_=scales, table_=table, c=cfg):
+                return lut_gemm.lut_qgemm(
+                    x_, planes_, scales_, table_, num_bits=num_bits,
+                    config=c, interpret=False,
+                )
+
+            t = bench_op(f, x, iters=iters)
+        except Exception:
+            continue  # unsupported on this chip — skip, like tune.py:160-167
+        if t < best_t:
+            best, best_t = cfg, t
+    _MEMO[key] = best
+    return best
+
+
+def verify_config(
+    config: KernelConfig,
+    n: int = 1024,
+    k: int = 1024,
+    num_bits: int = 4,
+    group_size: int = 64,
+    dtype=jnp.bfloat16,
+    seeds: Sequence[int] = (0, 1),
+) -> None:
+    """Reference-style post-tune correctness check (tune.py:294-392):
+    identity input must reconstruct bit-exactly; random input must match the
+    XLA oracle within the dtype threshold. Raises on failure."""
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        codes = rng.integers(0, 2**num_bits, size=(k, n), dtype=np.int32)
+        planes = packing.pack(codes, num_bits, chunk=config.chunk)
+        scales = jnp.asarray(rng.uniform(0.5, 1.5, (k // group_size, n)), dtype)
+        table = jnp.asarray(np.sort(rng.standard_normal(2**num_bits)), jnp.float32)
+
+        eye = jnp.eye(k, dtype=dtype)
+        got = lut_gemm.lut_qgemm(
+            eye, planes, scales, table, num_bits=num_bits, config=config
+        )
+        want = lut_gemm.dequantize_codes(jnp.asarray(codes), scales, table, dtype)
+        if not np.array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        ):
+            raise AssertionError(f"identity oracle failed for {config.key()}")
+
+        x = jnp.asarray(rng.standard_normal((33, k)), dtype)
+        got = lut_gemm.lut_qgemm(
+            x, planes, scales, table, num_bits=num_bits, config=config
+        )
+        want = lut_gemm.lut_qgemm_reference(x, jnp.asarray(codes), scales, table)
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+        denom = max(float(jnp.abs(want).max()), 1e-6)
+        thr = RTOL[jnp.dtype(dtype).name]
+        if err.max() / denom > thr:
+            raise AssertionError(
+                f"random oracle failed for {config.key()}: "
+                f"rel={err.max() / denom:.2e} > {thr}"
+            )
+
+
+def tune_linear(layer, m: int, dtype=jnp.bfloat16, **kw):
+    """Retune a QuantizedLinear's config for batch size ``m``. No repack is
+    ever needed (layout is block-shape independent) — the TPU answer to the
+    reference's maybe_tune_and_repack (tune.py:534-591)."""
+    cfg = tune_config(
+        m, layer.out_features, layer.in_features, layer.num_bits,
+        layer.group_size, dtype, **kw,
+    )
+    if cfg.chunk != (layer.config.chunk if layer.config else packing.DEFAULT_CHUNK):
+        cfg = dataclasses.replace(
+            cfg, chunk=layer.config.chunk if layer.config else packing.DEFAULT_CHUNK
+        )
+    return layer.with_config(cfg)
+
+
+def metadata_for(layer, m: int, dtype=jnp.bfloat16) -> TuneMetaData:
+    return TuneMetaData(
+        version=_VERSION,
+        m=m,
+        n=layer.out_features,
+        k=layer.in_features,
+        num_bits=layer.num_bits,
+        group_size=layer.group_size,
+        dtype=jnp.dtype(dtype).name,
+        device_kind=_device_kind(),
+        config_key=layer.config_key or "",
+    )
+
+
+def maybe_retune(layer, meta: TuneMetaData, m: int, dtype=jnp.bfloat16):
+    """If the persisted tuning no longer matches the deployment (batch size
+    or device changed), retune; otherwise restore the stored config
+    (reference maybe_tune_and_repack semantics, tune.py:534-591)."""
+    same = (
+        meta.version == _VERSION
+        and max(meta.m, 16) == max(m, 16)
+        and meta.device_kind == _device_kind()
+        and meta.dtype == jnp.dtype(dtype).name
+    )
+    if same and meta.config_key:
+        return layer.with_config(KernelConfig.from_key(meta.config_key))
+    return tune_linear(layer, m, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Registry persistence (replaces the reference's pickled
+# flute/data/qgemm_kernel_raw_tuned_configs.pth with readable JSON)
+# ---------------------------------------------------------------------------
+
+
+def save_registry(path: str) -> None:
+    data = {
+        "|".join(map(str, k)): v.key() for k, v in _MEMO.items()
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+
+
+def load_registry(path: str) -> int:
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        data = json.load(f)
+    n = 0
+    for k, v in data.items():
+        parts = k.split("|")
+        key = (
+            parts[0], int(parts[1]), int(parts[2]), int(parts[3]),
+            int(parts[4]), int(parts[5]), parts[6], parts[7],
+        )
+        _MEMO[key] = KernelConfig.from_key(v)
+        n += 1
+    return n

@@ -2,10 +2,11 @@
 
 The role of the reference's `triton.testing.do_bench` usage
 (reference: flute/tune.py:82-109) — but designed for remote-attached TPUs
-where per-dispatch latency is milliseconds: the op under test is iterated
-*inside* a single jitted fori_loop with a serializing data dependency, so
-one dispatch covers N kernel executions and the measured time is pure
-device time.
+where per-dispatch latency is large AND noisy (tunnel): the op under test
+is iterated *inside* a single jitted fori_loop with a serializing data
+dependency, and the per-iteration time is the SLOPE between two iteration
+counts (min-of-repeats each), which cancels dispatch/sync overhead exactly
+instead of assuming it is constant.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ def bench_op(
     f: Callable[..., jnp.ndarray],
     *args,
     iters: int = 200,
+    reps: int = 3,
     warmup: bool = True,
 ) -> float:
     """Return seconds per execution of ``f(*args)`` measured device-side.
@@ -31,6 +33,7 @@ def bench_op(
     perturbation, which serializes iterations and defeats loop-invariant
     hoisting without touching the measured op's memory traffic.
     """
+
     def loop(n, *a):
         x0 = a[0]
 
@@ -50,15 +53,20 @@ def bench_op(
     jloop = jax.jit(loop)
     if warmup:
         _ = jax.device_get(jloop(2, *args))
-    t0 = time.perf_counter()
-    r = jloop(iters, *args)
-    _ = jax.device_get(r)
-    dt = time.perf_counter() - t0
-    # Subtract dispatch+sync overhead via a 2-iteration run.
-    t1 = time.perf_counter()
-    _ = jax.device_get(jloop(2, *args))
-    overhead = time.perf_counter() - t1
-    return max(dt - overhead, 1e-12) / max(iters - 2, 1)
+
+    def timed(n: int) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = jax.device_get(jloop(n, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1 = max(2, iters // 5)
+    n2 = iters
+    t1 = timed(n1)
+    t2 = timed(n2)
+    return max(t2 - t1, 1e-12) / (n2 - n1)
 
 
 def format_gemm_report(

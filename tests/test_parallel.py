@@ -1,0 +1,129 @@
+"""Tensor-parallel tests over a simulated multi-device CPU mesh — a
+capability the reference cannot test without physical multi-GPU hosts
+(SURVEY §4 'Multi-node story: none')."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flute_tpu import nn as fnn
+from flute_tpu import packing
+from flute_tpu.models import llama
+from flute_tpu.ops.kernel_config import KernelConfig
+from flute_tpu.parallel import (
+    llama_partition_specs,
+    make_mesh,
+    merge_shards,
+    repack,
+    shard_linear,
+    shard_params,
+    tp_forward_fn,
+    validate_tp,
+)
+
+BF16_RTOL = 1.1e-2
+
+
+@pytest.fixture(scope="module")
+def tiny_q():
+    config = llama.LlamaConfig.tiny()
+    params = llama.init_params(config, rng=0)
+    qparams = llama.quantize_model(params, num_bits=4, group_size=64, chunk=128)
+    return config, qparams
+
+
+def test_shard_merge_roundtrip_n_and_k():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 512)), jnp.float32)  # [out, in]
+    layer = fnn.quantize_linear(w, num_bits=4, group_size=64, chunk=128)
+    for axis, parts in (("n", 4), ("k", 2)):
+        shards = shard_linear(layer, parts, axis)
+        merged = merge_shards(shards, axis)
+        for p0, p1 in zip(layer.planes, merged.planes):
+            np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_array_equal(
+            np.asarray(layer.scales, np.float32), np.asarray(merged.scales, np.float32)
+        )
+
+
+def test_sharded_forward_matches_dense_shard():
+    """Each N-shard of a packed layer must compute exactly the matching
+    output columns (pack layout is slice-transparent)."""
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((256, 512)), jnp.float32)
+    layer = fnn.quantize_linear(w, num_bits=4, group_size=64, chunk=128)
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.bfloat16)
+    full = np.asarray(layer(x), np.float32)
+    shards = shard_linear(layer, 2, "n")
+    for i, s in enumerate(shards):
+        part = np.asarray(s(x), np.float32)
+        np.testing.assert_array_equal(part, full[:, i * 128:(i + 1) * 128])
+
+
+def test_k_sharded_partials_sum_to_full():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((128, 512)), jnp.float32)
+    layer = fnn.quantize_linear(w, num_bits=4, group_size=64, chunk=128)
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.bfloat16)
+    full = np.asarray(layer(x), np.float32)
+    shards = shard_linear(layer, 2, "k")
+    parts = [np.asarray(s(x[:, i * 256:(i + 1) * 256]), np.float32)
+             for i, s in enumerate(shards)]
+    np.testing.assert_allclose(
+        parts[0] + parts[1], full,
+        atol=BF16_RTOL * max(np.abs(full).max(), 1.0), rtol=0,
+    )
+
+
+def test_repack_chunk_migration():
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((128, 512)), jnp.float32)
+    layer = fnn.quantize_linear(w, num_bits=4, group_size=64, chunk=256)
+    migrated = repack(layer, new_chunk=128)
+    codes_a = packing.unpack_np([np.asarray(p) for p in layer.planes], 4, chunk=256)
+    codes_b = packing.unpack_np([np.asarray(p) for p in migrated.planes], 4, chunk=128)
+    np.testing.assert_array_equal(codes_a, codes_b)
+    # forward equality too (config carries the new chunk)
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(layer(x), np.float32), np.asarray(migrated(x), np.float32)
+    )
+
+
+def test_tp_forward_matches_single_device(tiny_q):
+    config, qparams = tiny_q
+    validate_tp(qparams, config, tp=2)
+    mesh = make_mesh(tp=2, dp=2)
+    specs = llama_partition_specs(qparams)
+    sharded_params = shard_params(qparams, mesh, specs)
+
+    b, t, s = 4, 8, 16
+    tokens = jnp.asarray(
+        np.random.default_rng(4).integers(0, 100, (b, t)), jnp.int32
+    )
+    offsets = jnp.zeros((b,), jnp.int32)
+    cache = llama.init_cache(config, b, s)
+
+    step = tp_forward_fn(config, mesh, specs)
+    logits_tp, cache_tp = step(sharded_params, tokens, cache, 0, offsets)
+
+    logits_1, cache_1 = llama.forward(qparams, config, tokens, cache, jnp.int32(0))
+
+    lt, l1 = np.asarray(logits_tp), np.asarray(logits_1)
+    denom = max(np.abs(l1).max(), 1e-6)
+    assert np.abs(lt - l1).max() / denom < BF16_RTOL
+    # KV caches must agree as well (heads re-assembled across shards).
+    np.testing.assert_allclose(
+        np.asarray(cache_tp["k"], np.float32),
+        np.asarray(cache_1["k"], np.float32),
+        atol=2e-2, rtol=0,
+    )
+
+
+def test_validate_tp_rejects_bad_topology(tiny_q):
+    config, qparams = tiny_q
+    with pytest.raises(ValueError):
+        validate_tp(qparams, config, tp=3)
