@@ -37,15 +37,13 @@ def hbm_gbps() -> float:
     return 819.0
 
 
-# Llama-3.1-8B decoder-layer GEMM shapes (N=out, K=in) — the same shape
-# family the reference tunes/tests (reference tests/shapes.py:1-96).
+# Llama-3.1-8B decoder-layer GEMM shapes (N=out, K=in) in the fused-layer
+# serving layout (qkv / gate_up fused, as in the reference's vLLM stack;
+# shape family mirrors reference tests/shapes.py:1-96).
 LLAMA31_8B_LAYER = [
-    ("q", 4096, 4096),
-    ("k", 1024, 4096),
-    ("v", 1024, 4096),
+    ("qkv", 6144, 4096),
     ("o", 4096, 4096),
-    ("gate", 14336, 4096),
-    ("up", 14336, 4096),
+    ("gate_up", 28672, 4096),
     ("down", 4096, 14336),
 ]
 
@@ -75,7 +73,13 @@ def main():
                 x_, planes_, scales_, table_, num_bits=bits, interpret=False
             )
 
-        t = bench_op(f, x, iters=100)
+        weight_bytes_est = sum(p.size * 4 for p in planes)
+        # scale iteration count so the timed delta spans >= ~40 ms of
+        # device time — small projections need thousands of iterations for
+        # the slope measurement to rise above tunnel dispatch noise
+        est = weight_bytes_est / (500e9)
+        iters = min(4000, max(100, int(0.04 / est)))
+        t = bench_op(f, x, iters=iters)
         weight_bytes = sum(p.size * 4 for p in planes)
         byts = weight_bytes + scales.size * 2 + x.size * 2 + m * n * 2
         total_time += t

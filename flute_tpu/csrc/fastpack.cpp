@@ -1,0 +1,125 @@
+// Fast native weight packer for flute-tpu.
+//
+// Role: the host-native runtime piece of the framework (the reference's
+// native host layer is flute/csrc/qgemm.cpp — a torch op binding; ours is
+// the offline packing hot loop, which for a 70B checkpoint processes
+// ~140 GB of code tensors and is worth real native throughput).
+//
+// Implements the pack layout contract of flute_tpu/packing.py:
+//   * codes [K, N] int32 of b-bit values, split into planes (low bits
+//     first: 3-bit = 2+1);
+//   * per plane p (pb bits): pair field f[t, n] = ce | co << pb where
+//     ce = subcode(codes[2t, n]), co = subcode(codes[2t+1, n]);
+//   * fields chunked along K-pairs (chunk_pairs per chunk); within a
+//     chunk, word w[j, n] holds field (i*kc + j) in LSB-first slot i,
+//     kc = chunk_pairs / r, r = 32 / (2*pb).
+//
+// Exposed as a minimal C ABI consumed via ctypes (no pybind11 in the
+// image). Threaded over chunk rows with std::thread.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct PlaneDims {
+  int64_t K, N;
+  int shift;      // subcode bit offset within the full code
+  int pb;         // plane bits
+  int64_t chunk;  // K rows per chunk (pairs per chunk = chunk / 2)
+};
+
+inline int threads_for(int64_t work_items) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 4;
+  return static_cast<int>(std::min<int64_t>(hw, std::max<int64_t>(1, work_items)));
+}
+
+template <typename F>
+void parallel_for(int64_t n, F&& body) {
+  int nt = threads_for(n);
+  if (nt <= 1) {
+    for (int64_t i = 0; i < n; ++i) body(i);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t] {
+      for (int64_t i = t; i < n; i += nt) body(i);
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack one plane: codes [K, N] int32 -> words [K*pb/32, N] int32.
+// Returns 0 on success, nonzero on invalid dims.
+int flute_pack_plane(const int32_t* codes, int32_t* words, int64_t K,
+                     int64_t N, int shift, int pb, int64_t chunk) {
+  const int fb = 2 * pb;
+  const int r = 32 / fb;
+  if (K % chunk != 0 || (chunk / 2) % r != 0) return 1;
+  const int64_t chunk_pairs = chunk / 2;
+  const int64_t kc = chunk_pairs / r;
+  const int64_t nchunks = K / chunk;
+  const uint32_t mask = (1u << pb) - 1u;
+
+  parallel_for(nchunks * kc, [&](int64_t row) {
+    const int64_t c = row / kc;
+    const int64_t j = row % kc;
+    uint32_t* dst = reinterpret_cast<uint32_t*>(words) + row * N;
+    std::memset(dst, 0, sizeof(uint32_t) * N);
+    for (int i = 0; i < r; ++i) {
+      const int64_t pair_row = c * chunk_pairs + i * kc + j;
+      const int32_t* even = codes + (2 * pair_row) * N;
+      const int32_t* odd = codes + (2 * pair_row + 1) * N;
+      const int sh = fb * i;
+      for (int64_t n = 0; n < N; ++n) {
+        const uint32_t ce = (static_cast<uint32_t>(even[n]) >> shift) & mask;
+        const uint32_t co = (static_cast<uint32_t>(odd[n]) >> shift) & mask;
+        dst[n] |= (ce | (co << pb)) << sh;
+      }
+    }
+  });
+  return 0;
+}
+
+// Unpack one plane: words [K*pb/32, N] -> subcodes [K, N] int32 (values in
+// [0, 2^pb)); caller ORs planes together at their shifts.
+int flute_unpack_plane(const int32_t* words, int32_t* codes, int64_t K,
+                       int64_t N, int pb, int64_t chunk) {
+  const int fb = 2 * pb;
+  const int r = 32 / fb;
+  if (K % chunk != 0 || (chunk / 2) % r != 0) return 1;
+  const int64_t chunk_pairs = chunk / 2;
+  const int64_t kc = chunk_pairs / r;
+  const int64_t nchunks = K / chunk;
+  const uint32_t mask = (1u << pb) - 1u;
+
+  parallel_for(nchunks * kc, [&](int64_t row) {
+    const int64_t c = row / kc;
+    const int64_t j = row % kc;
+    const uint32_t* src = reinterpret_cast<const uint32_t*>(words) + row * N;
+    for (int i = 0; i < r; ++i) {
+      const int64_t pair_row = c * chunk_pairs + i * kc + j;
+      int32_t* even = codes + (2 * pair_row) * N;
+      int32_t* odd = codes + (2 * pair_row + 1) * N;
+      const int sh = fb * i;
+      for (int64_t n = 0; n < N; ++n) {
+        const uint32_t f = (src[n] >> sh);
+        even[n] = static_cast<int32_t>(f & mask);
+        odd[n] = static_cast<int32_t>((f >> pb) & mask);
+      }
+    }
+  });
+  return 0;
+}
+
+}  // extern "C"

@@ -1,3 +1,3 @@
-from flute_tpu.models import llama
+from flute_tpu.models import gemma2, llama
 
-__all__ = ["llama"]
+__all__ = ["gemma2", "llama"]

@@ -112,9 +112,17 @@ def _block(
     b, t, _ = x.shape
     d = config.head_dim
     h = rms_norm_gemma(x, params["attn_norm"], config.rms_norm_eps)
-    q = apply_linear(params["q"], h).reshape(b, t, -1, d)
-    k = apply_linear(params["k"], h).reshape(b, t, -1, d)
-    v = apply_linear(params["v"], h).reshape(b, t, -1, d)
+    if "qkv" in params:
+        qdim = config.num_heads * d
+        kvdim = config.num_kv_heads * d
+        qkv = apply_linear(params["qkv"], h)
+        q = qkv[..., :qdim].reshape(b, t, -1, d)
+        k = qkv[..., qdim:qdim + kvdim].reshape(b, t, -1, d)
+        v = qkv[..., qdim + kvdim:].reshape(b, t, -1, d)
+    else:
+        q = apply_linear(params["q"], h).reshape(b, t, -1, d)
+        k = apply_linear(params["k"], h).reshape(b, t, -1, d)
+        v = apply_linear(params["v"], h).reshape(b, t, -1, d)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_cache = jax.lax.dynamic_update_slice(
@@ -138,8 +146,13 @@ def _block(
     x = x + o
 
     h = rms_norm_gemma(x, params["mlp_norm"], config.rms_norm_eps)
-    gate = apply_linear(params["gate"], h)
-    up = apply_linear(params["up"], h)
+    if "gate_up" in params:
+        gu = apply_linear(params["gate_up"], h)
+        inter = gu.shape[-1] // 2
+        gate, up = gu[..., :inter], gu[..., inter:]
+    else:
+        gate = apply_linear(params["gate"], h)
+        up = apply_linear(params["up"], h)
     down = apply_linear(
         params["down"], jax.nn.gelu(gate, approximate=True) * up
     )

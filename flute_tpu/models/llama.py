@@ -236,9 +236,19 @@ def _block(
     b, t, _ = x.shape
     d = config.head_dim
     h = rms_norm(x, params["attn_norm"], config.rms_norm_eps)
-    q = apply_linear(params["q"], h).reshape(b, t, -1, d)
-    k = apply_linear(params["k"], h).reshape(b, t, -1, d)
-    v = apply_linear(params["v"], h).reshape(b, t, -1, d)
+    if "qkv" in params:
+        # fused projection (one kernel launch; role of vLLM's
+        # QKVParallelLinear in the reference serving stack)
+        qdim = config.num_heads * d
+        kvdim = config.num_kv_heads * d
+        qkv = apply_linear(params["qkv"], h)
+        q = qkv[..., :qdim].reshape(b, t, -1, d)
+        k = qkv[..., qdim:qdim + kvdim].reshape(b, t, -1, d)
+        v = qkv[..., qdim + kvdim:].reshape(b, t, -1, d)
+    else:
+        q = apply_linear(params["q"], h).reshape(b, t, -1, d)
+        k = apply_linear(params["k"], h).reshape(b, t, -1, d)
+        v = apply_linear(params["v"], h).reshape(b, t, -1, d)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_cache = _cache_update(k_cache, k, pos)
@@ -250,8 +260,13 @@ def _block(
     x = x + o
 
     h = rms_norm(x, params["mlp_norm"], config.rms_norm_eps)
-    gate = apply_linear(params["gate"], h)
-    up = apply_linear(params["up"], h)
+    if "gate_up" in params:
+        gu = apply_linear(params["gate_up"], h)
+        inter = gu.shape[-1] // 2
+        gate, up = gu[..., :inter], gu[..., inter:]
+    else:
+        gate = apply_linear(params["gate"], h)
+        up = apply_linear(params["up"], h)
     down = apply_linear(params["down"], jax.nn.silu(gate) * up)
     if axis_name is not None:
         down = jax.lax.psum(down, axis_name)
@@ -374,11 +389,19 @@ def quantize_model(
     *,
     example_batch_size: int = 8,
     chunk: Optional[int] = None,
+    fuse: bool = False,
 ) -> dict:
     """Quantize every projection matrix in a Llama params pytree (the seven
     per-block linears; embeddings / norms / lm_head stay dense — same layer
     selection as the reference, flute/integrations/base.py:72-79 skipping
-    lm_head via module name)."""
+    lm_head via module name).
+
+    ``fuse=True`` merges q/k/v into one ``qkv`` and gate/up into one
+    ``gate_up`` projection (the single-device decode fast path; role of
+    vLLM's QKVParallelLinear / MergedColumnParallelLinear in the reference
+    serving stack). Fused layers are not TP-shardable in round 1 —
+    parallel.validate_tp rejects them.
+    """
     from flute_tpu import packing
     from flute_tpu.nn import quantize_linear
 
@@ -389,17 +412,34 @@ def quantize_model(
     out["layers"] = []
     for layer in params["layers"]:
         new_layer = dict(layer)
-        for key in _PROJ_KEYS:
-            w = layer[key]
-            if isinstance(w, QuantizedLinear):
-                new_layer[key] = w
-                continue
-            new_layer[key] = quantize_linear(
-                jnp.asarray(w).T,  # [in, out] -> [out, in] for quantization
+
+        def quant(w):
+            return quantize_linear(
+                jnp.asarray(w).T,  # [in, out] -> [out, in]
                 num_bits,
                 group_size,
                 example_batch_size=example_batch_size,
                 **kw,
             )
+
+        keys = _PROJ_KEYS
+        if fuse:
+            qkv = jnp.concatenate(
+                [jnp.asarray(layer[k2]) for k2 in ("q", "k", "v")], axis=1
+            )
+            gate_up = jnp.concatenate(
+                [jnp.asarray(layer[k2]) for k2 in ("gate", "up")], axis=1
+            )
+            new_layer["qkv"] = quant(qkv)
+            new_layer["gate_up"] = quant(gate_up)
+            for k2 in ("q", "k", "v", "gate", "up"):
+                del new_layer[k2]
+            keys = ("o", "down")
+        for key in keys:
+            w = layer[key]
+            if isinstance(w, QuantizedLinear):
+                new_layer[key] = w
+                continue
+            new_layer[key] = quant(w)
         out["layers"].append(new_layer)
     return out

@@ -1,0 +1,106 @@
+"""ctypes bridge to the native fast packer (flute_tpu/csrc/fastpack.cpp).
+
+The framework's host-native layer: offline packing of large checkpoints is
+a pure-CPU bit-shuffle over tens of GB — the one place where numpy loops
+genuinely hurt. The shared library is built on demand with g++ (no
+pybind11/torch build machinery — contrast the reference's CUDAExtension
+setup, setup.py:78-103) and falls back to the numpy implementation in
+flute_tpu/packing.py when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "csrc", "fastpack.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "csrc", "libfastpack.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            fresh = os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+            if not fresh and not _build():
+                return None
+            lib = ctypes.CDLL(_LIB)
+            for fn in (lib.flute_pack_plane, lib.flute_unpack_plane):
+                fn.restype = ctypes.c_int
+            lib.flute_pack_plane.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ]
+            lib.flute_unpack_plane.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def pack_plane(
+    codes: np.ndarray, shift: int, plane_bits: int, chunk: int
+) -> Optional[np.ndarray]:
+    """Native pack of one plane from full codes [K, N]; None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    k, n = codes.shape
+    out = np.empty((k * plane_bits // 32, n), np.int32)
+    rc = lib.flute_pack_plane(
+        codes.ctypes.data, out.ctypes.data, k, n, shift, plane_bits, chunk
+    )
+    if rc != 0:
+        raise ValueError(f"flute_pack_plane failed (rc={rc})")
+    return out
+
+
+def unpack_plane(
+    words: np.ndarray, plane_bits: int, chunk: int
+) -> Optional[np.ndarray]:
+    """Native unpack of one plane to subcodes [K, N]; None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.int32)
+    rows, n = words.shape
+    k = rows * 32 // plane_bits
+    out = np.empty((k, n), np.int32)
+    rc = lib.flute_unpack_plane(
+        words.ctypes.data, out.ctypes.data, k, n, plane_bits, chunk
+    )
+    if rc != 0:
+        raise ValueError(f"flute_unpack_plane failed (rc={rc})")
+    return out

@@ -98,14 +98,27 @@ def is_config_supported(
         return False
     if config.block_n % 128 != 0 or config.block_m % 8 != 0:
         return False
-    # Rough VMEM budget: packed block + dequantized block (bf16) + x block +
-    # acc block, double-buffered. Keep under ~12 MiB.
+    # Pallas requires block sublane dims divisible by 8 unless the block
+    # covers the whole array: applies to the scales block [bk/g, bn] and
+    # each packed plane block [bk*pb/32, bn].
+    scale_rows = config.block_k // group_size
+    if scale_rows % 8 != 0 and config.block_k != k:
+        return False
+    from flute_tpu.bitutils import planes_for_bits
+
+    for pb in planes_for_bits(num_bits):
+        rows = config.block_k * pb // 32
+        if rows % 8 != 0 and config.block_k != k:
+            return False
+    # Rough VMEM budget: double-buffered packed + x blocks, one dequantized
+    # block (bf16), one f32 accumulator. Cap calibrated on v5e (bn=4096 x
+    # bk=2048 at W4 compiles and runs; see scripts/kernel_lab.py findings).
     packed_bytes = config.block_k * config.block_n * num_bits // 8
     deq_bytes = config.block_k * config.block_n * 2
     x_bytes = config.block_m * config.block_k * 2
     acc_bytes = config.block_m * config.block_n * 4
-    vmem = 2 * (packed_bytes + x_bytes) + deq_bytes * 2 + acc_bytes
-    return vmem < 12 * 1024 * 1024
+    vmem = 2 * (packed_bytes + x_bytes) + deq_bytes + acc_bytes
+    return vmem < 24 * 1024 * 1024
 
 
 def get_candidate_configs(
@@ -152,19 +165,36 @@ def fit_config(
     parallelism / resharding — the reference re-tunes in that situation
     (flute/tune.py:534-591); we refit statically and let the tuner refine.
     """
+    from flute_tpu.bitutils import planes_for_bits
+
     bn = config.block_n
     while bn > 128 and n % bn != 0:
         bn //= 2
     if n % bn != 0:
         raise ValueError(f"N={n} has no 128-multiple block divisor")
+
+    def bk_ok(bk):
+        if k % bk or bk % config.chunk or bk % group_size:
+            return False
+        if (bk // group_size) % 8 != 0 and bk != k:
+            return False  # scales block sublane constraint
+        for pb in planes_for_bits(num_bits):
+            if (bk * pb // 32) % 8 != 0 and bk != k:
+                return False  # packed plane block sublane constraint
+        return True
+
     step = max(config.chunk, group_size)
     bk = config.block_k
-    while bk > step and k % bk != 0:
+    while bk > step and not bk_ok(bk):
         bk //= 2
-    if k % bk != 0 or bk % config.chunk or bk % group_size:
-        raise ValueError(
-            f"K={k} incompatible with chunk={config.chunk} group={group_size}"
-        )
+    if not bk_ok(bk):
+        if bk_ok(k):
+            bk = k  # whole-array block is always legal
+        else:
+            raise ValueError(
+                f"K={k} incompatible with chunk={config.chunk} "
+                f"group={group_size} bits={num_bits}"
+            )
     bm = min(config.block_m, _round_up(max(m, 1), 16))  # bf16 sublane tile
     if bn == config.block_n and bk == config.block_k and bm == config.block_m:
         return config
@@ -186,15 +216,20 @@ def get_kernel_config(
     """
     bm = min(_round_up(max(m, 1), 16), 256)
     # Prefer the largest block_n dividing n (bounded), then block_k
-    # (measured on v5e: bn=2048/bk=1024 is the decode sweet spot).
+    # (measured on v5e W4G64 decode: bn=2048/bk=2048 = 56% roofline vs 53%
+    # at bk=1024; see scripts/kernel_lab.py).
     bn = 512
     for cand in (2048, 1024, 512, 256, 128):
         if n % cand == 0:
             bn = cand
             break
     bk = 512
-    for cand in (1024, 512, 256):
-        if k % cand == 0:
+    bk_prefs = (2048, 1024, 512, 256) if bm <= 64 else (1024, 512, 256)
+    for cand in bk_prefs:
+        if k % cand == 0 and is_config_supported(
+            KernelConfig(block_m=bm, block_n=bn, block_k=cand),
+            m, n, k, num_bits, group_size,
+        ):
             bk = cand
             break
     cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk)

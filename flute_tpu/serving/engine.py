@@ -39,6 +39,7 @@ class Engine:
     params: Any
     config: Any
     forward: Callable = llama.forward
+    init_cache: Callable = llama.init_cache  # (config, batch, max_len) -> cache
     max_len: int = 1024
     batch_size: int = 8
     pad_id: int = 0
@@ -60,8 +61,8 @@ class Engine:
         self._prefill = prefill_step
         self._decode = decode_step
 
-    def init_cache(self):
-        return llama.init_cache(self.config, self.batch_size, self.max_len)
+    def _new_cache(self):
+        return self.init_cache(self.config, self.batch_size, self.max_len)
 
     def generate(
         self,
@@ -86,7 +87,7 @@ class Engine:
             offsets[i] = plen - len(p)
         offsets_j = jnp.asarray(offsets)
 
-        cache = self.init_cache()
+        cache = self._new_cache()
         next_logits, cache = self._prefill(
             self.params, jnp.asarray(toks), cache, offsets_j
         )

@@ -1,0 +1,92 @@
+"""Gemma-2 model tests: quantized-vs-fake-quant equivalence, sliding-window
+masking, and generation through the shared serving engine."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flute_tpu.models import gemma2
+from flute_tpu.quantize import nf
+from flute_tpu.serving import Engine
+
+BF16_RTOL = 1.1e-2
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = gemma2.Gemma2Config.tiny()
+    params = gemma2.init_params(config, rng=0)
+    return config, params
+
+
+def test_quantized_matches_fake_quant(tiny):
+    config, params = tiny
+    qparams = gemma2.quantize_model(params, num_bits=4, group_size=64, chunk=128)
+
+    fparams = dict(params)
+    fparams["layers"] = []
+    for layer in params["layers"]:
+        nl = dict(layer)
+        for key in ("q", "k", "v", "o", "gate", "up", "down"):
+            w = jnp.asarray(layer[key]).T
+            nl[key] = nf.nf_quantize_fake(w, 4, 64, jnp.bfloat16).T
+        fparams["layers"].append(nl)
+
+    tokens = jnp.asarray(np.random.default_rng(1).integers(0, 100, (2, 6)), jnp.int32)
+    cq = gemma2.init_cache(config, 2, 12)
+    cf = gemma2.init_cache(config, 2, 12)
+    lq, _ = gemma2.forward(qparams, config, tokens, cq, jnp.int32(0))
+    lf, _ = gemma2.forward(fparams, config, tokens, cf, jnp.int32(0))
+    denom = max(np.abs(np.asarray(lf)).max(), 1e-6)
+    assert np.abs(np.asarray(lq) - np.asarray(lf)).max() / denom < BF16_RTOL
+
+
+def test_final_logits_softcapped(tiny):
+    config, params = tiny
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    cache = gemma2.init_cache(config, 1, 8)
+    logits, _ = gemma2.forward(params, config, tokens, cache, jnp.int32(0))
+    assert np.abs(np.asarray(logits)).max() <= config.final_logit_softcap + 1e-3
+
+
+def test_sliding_window_restricts_attention():
+    """A token beyond the window must not influence a sliding layer.
+
+    Uses a 1-layer sliding-only model: logits for the last position must be
+    identical whether or not a distant early token differs."""
+    config = gemma2.Gemma2Config.tiny()
+    # num_layers=2: layer 0 slides (window=8), layer 1 is global. Build a
+    # 1-layer variant to isolate the sliding behavior.
+    import dataclasses
+
+    config1 = dataclasses.replace(config, num_layers=1, sliding_window=4)
+    params = gemma2.init_params(config1, rng=2)
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(1, 100, 12)
+    t1 = base.copy()
+    t2 = base.copy()
+    t2[0] = (t2[0] + 7) % 100 + 1  # differs only at position 0
+
+    outs = []
+    for t in (t1, t2):
+        cache = gemma2.init_cache(config1, 1, 12)
+        logits, _ = gemma2.forward(
+            params, config1, jnp.asarray(t[None, :], jnp.int32), cache, jnp.int32(0)
+        )
+        outs.append(np.asarray(logits[0, -1]))
+    # position 11 sees slots (8..11] only; slot 0 is out of its window
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_generation_via_engine(tiny):
+    config, params = tiny
+    qparams = gemma2.quantize_model(params, num_bits=4, group_size=64, chunk=128)
+    eng = Engine(
+        params=qparams, config=config, forward=gemma2.forward,
+        init_cache=gemma2.init_cache, max_len=24, batch_size=2,
+    )
+    out = eng.generate([[1, 5, 9], [2, 6]], max_new_tokens=5)
+    assert len(out) == 2 and all(len(o) == 5 for o in out)
+    out2 = eng.generate([[1, 5, 9], [2, 6]], max_new_tokens=5)
+    assert out == out2
