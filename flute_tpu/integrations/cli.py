@@ -32,7 +32,7 @@ def _cmd_quantize(args):
 
 
 def _cmd_generate(args):
-    from flute_tpu.integrations.huggingface import load_quantized_model
+    from flute_tpu.integrations.huggingface import load_quantized_model, model_fns
     from flute_tpu.serving import Engine
 
     params, config, sidecar = load_quantized_model(
@@ -40,6 +40,9 @@ def _cmd_generate(args):
     )
     if config is None:
         raise SystemExit("checkpoint lacks config.json; cannot build model")
+    fwd, init_cache = model_fns(
+        (sidecar.get("model_config") or {}).get("model_type", "llama")
+    )
 
     try:
         from transformers import AutoTokenizer
@@ -51,7 +54,8 @@ def _cmd_generate(args):
         tok = None
 
     eng = Engine(
-        params=params, config=config, max_len=args.max_len, batch_size=1
+        params=params, config=config, forward=fwd, init_cache=init_cache,
+        max_len=args.max_len, batch_size=1,
     )
     out = eng.generate([ids], max_new_tokens=args.max_new_tokens)
     if tok is not None:

@@ -26,7 +26,7 @@ import numpy as np
 from flute_tpu.integrations import checkpoint as ckpt_io
 from flute_tpu.models import llama as llama_mod
 
-_LAYER_KEYS = {
+_LLAMA_LAYER_KEYS = {
     "input_layernorm.weight": ("attn_norm", False),
     "self_attn.q_proj.weight": ("q", True),
     "self_attn.k_proj.weight": ("k", True),
@@ -36,6 +36,14 @@ _LAYER_KEYS = {
     "mlp.gate_proj.weight": ("gate", True),
     "mlp.up_proj.weight": ("up", True),
     "mlp.down_proj.weight": ("down", True),
+}
+
+# Gemma-2 sandwich norms (HF names -> flute-tpu layer keys)
+_GEMMA2_LAYER_KEYS = {
+    **_LLAMA_LAYER_KEYS,
+    "post_attention_layernorm.weight": ("post_attn_norm", False),
+    "pre_feedforward_layernorm.weight": ("mlp_norm", False),
+    "post_feedforward_layernorm.weight": ("post_mlp_norm", False),
 }
 
 
@@ -60,8 +68,16 @@ def _open_safetensor_shards(model_dir: str):
                 yield name, f.get_tensor(name)
 
 
-def config_from_hf(model_dir: str) -> "llama_mod.LlamaConfig":
-    """Translate an HF config.json into a LlamaConfig."""
+def model_type_of(model_dir: str) -> str:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        return json.load(f).get("model_type", "llama")
+
+
+def config_from_hf(model_dir: str):
+    """Translate an HF config.json into the matching flute-tpu config
+    (LlamaConfig or Gemma2Config, by model_type)."""
+    if model_type_of(model_dir) == "gemma2":
+        return _gemma2_config_from_hf(model_dir)
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
     rope_scaling = hf.get("rope_scaling") or {}
@@ -90,6 +106,28 @@ def config_from_hf(model_dir: str) -> "llama_mod.LlamaConfig":
     )
 
 
+def _gemma2_config_from_hf(model_dir: str):
+    from flute_tpu.models import gemma2
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return gemma2.Gemma2Config(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        head_dim=hf.get("head_dim", 256),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        query_pre_attn_scalar=float(hf.get("query_pre_attn_scalar", 256)),
+        attn_logit_softcap=hf.get("attn_logit_softcapping", 50.0),
+        final_logit_softcap=hf.get("final_logit_softcapping", 30.0),
+        sliding_window=hf.get("sliding_window", 4096),
+    )
+
+
 def _to_jnp(arr: np.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     if arr.dtype == np.uint16 or str(arr.dtype) == "bfloat16":
         return jnp.asarray(arr).view(jnp.bfloat16).astype(dtype)
@@ -97,28 +135,34 @@ def _to_jnp(arr: np.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def load_hf_params(model_dir: str, config=None, dtype=jnp.bfloat16) -> dict:
-    """Read an HF Llama-family safetensors checkpoint into the flute-tpu
+    """Read an HF Llama/Gemma-2 safetensors checkpoint into the flute-tpu
     params pytree (linear leaves transposed to [in, out])."""
+    mtype = model_type_of(model_dir)
     config = config or config_from_hf(model_dir)
+    key_map = _GEMMA2_LAYER_KEYS if mtype == "gemma2" else _LLAMA_LAYER_KEYS
     layers = [dict() for _ in range(config.num_layers)]
-    params: dict = {"layers": layers, "lm_head": None}
+    params: dict = {"layers": layers}
+    if mtype != "gemma2":
+        params["lm_head"] = None
     for name, tensor in _open_safetensor_shards(model_dir):
         if name == "model.embed_tokens.weight":
             params["embed"] = _to_jnp(tensor, dtype)
         elif name == "model.norm.weight":
             params["final_norm"] = _to_jnp(tensor, dtype)
-        elif name == "lm_head.weight":
+        elif name == "lm_head.weight" and mtype != "gemma2":
             params["lm_head"] = _to_jnp(tensor, dtype).T
         elif name.startswith("model.layers."):
             rest = name[len("model.layers."):]
             li, sub = rest.split(".", 1)
-            if sub not in _LAYER_KEYS:
+            if sub not in key_map:
                 continue
-            key, is_linear = _LAYER_KEYS[sub]
+            key, is_linear = key_map[sub]
             t = _to_jnp(tensor, dtype)
             layers[int(li)][key] = t.T if is_linear else t
         # rotary inv_freq buffers etc. are recomputed, not loaded
-    if config.tie_word_embeddings:
+    if mtype == "gemma2":
+        params.pop("lm_head", None)  # always tied; forward uses embed.T
+    elif getattr(config, "tie_word_embeddings", False):
         params["lm_head"] = None
     return params
 
@@ -153,7 +197,7 @@ def quantize_hf_model(
     ckpt_io.save_quantized(
         output_dir,
         qparams,
-        model_config={"model_type": "llama", "source": model_dir},
+        model_config={"model_type": model_type_of(model_dir), "source": model_dir},
         num_bits=num_bits,
         group_size=group_size,
     )
@@ -164,6 +208,15 @@ def quantize_hf_model(
             import shutil
 
             shutil.copy(src, os.path.join(output_dir, fname))
+
+
+def model_fns(model_type: str):
+    """(forward, init_cache) pair for a model_type string."""
+    if model_type == "gemma2":
+        from flute_tpu.models import gemma2
+
+        return gemma2.forward, gemma2.init_cache
+    return llama_mod.forward, llama_mod.init_cache
 
 
 def load_quantized_model(

@@ -203,10 +203,16 @@ def init_cache(
 
 
 def _cache_update(cache_layer: jax.Array, new: jax.Array, pos: jax.Array) -> jax.Array:
-    """Write ``new`` [B, T, Hkv, D] into the cache at position ``pos``."""
-    return jax.lax.dynamic_update_slice(
-        cache_layer, new.astype(cache_layer.dtype), (0, pos, 0, 0)
-    )
+    """Write ``new`` [B, T, Hkv, D] into the cache at position ``pos``.
+
+    ``pos`` is a scalar (whole batch at one slot offset — plain decode) or
+    a [B] vector (per-sequence offsets — continuous batching)."""
+    new = new.astype(cache_layer.dtype)
+    if pos.ndim == 0:
+        return jax.lax.dynamic_update_slice(cache_layer, new, (0, pos, 0, 0))
+    return jax.vmap(
+        lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+    )(cache_layer, new, pos)
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +301,11 @@ def forward(
     s = cache["k"].shape[2]
     x = params["embed"][tokens].astype(config.dtype)
 
-    slots = pos + jnp.arange(t, dtype=jnp.int32)[None, :]  # [1, T]
+    # pos: scalar (whole batch at one offset) or [B] (per-sequence slots,
+    # continuous batching)
+    pos = jnp.asarray(pos, jnp.int32)
+    pos_col = pos[:, None] if pos.ndim == 1 else pos
+    slots = pos_col + jnp.arange(t, dtype=jnp.int32)[None, :]  # [1|B, T]
     if position_offsets is None:
         positions = jnp.broadcast_to(slots, (b, t))
     else:

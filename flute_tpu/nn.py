@@ -36,6 +36,18 @@ def _field(**kw):
     return dataclasses.field(**kw)
 
 
+def _pack_auto(codes_kn: jax.Array, num_bits: int, chunk: int):
+    """Pack on the device the codes live on: accelerator-resident codes use
+    the jnp packer (device->host round trips through a remote TPU tunnel
+    are minutes for large models); host codes use the native/numpy packer."""
+    platforms = {d.platform for d in codes_kn.devices()} if hasattr(
+        codes_kn, "devices"
+    ) else {"cpu"}
+    if platforms - {"cpu"}:
+        return packing.pack_jnp(codes_kn, num_bits, chunk=chunk)
+    return packing.pack(codes_kn, num_bits, chunk=chunk)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantizedLinear:
@@ -148,7 +160,7 @@ def quantize_linear(
             w, jnp.asarray(table, jnp.float32), group_size, custom_scales
         )
     codes_kn = jnp.asarray(codes).T  # [K, N]
-    planes = tuple(packing.pack(codes_kn, num_bits, chunk=chunk))
+    planes = tuple(_pack_auto(codes_kn, num_bits, chunk))
     scales_kn = jnp.asarray(scales).T.astype(dtype)  # [K/g, N]
     if config is None:
         config = get_kernel_config(example_batch_size, n, k, num_bits, group_size)
@@ -181,7 +193,7 @@ def from_codes(
     """Build a :class:`QuantizedLinear` from pre-computed ``[K, N]`` codes
     (the entry point for BNB/HIGGS/checkpoint importers)."""
     k, n = codes_kn.shape
-    planes = tuple(packing.pack(jnp.asarray(codes_kn), num_bits, chunk=chunk))
+    planes = tuple(_pack_auto(jnp.asarray(codes_kn), num_bits, chunk))
     if config is None:
         config = get_kernel_config(example_batch_size, n, k, num_bits, group_size)
     if config.chunk != chunk:

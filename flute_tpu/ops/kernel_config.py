@@ -210,6 +210,10 @@ def get_kernel_config(
 ) -> KernelConfig:
     """Static heuristic default config (no tuning).
 
+    Env override FLUTE_TPU_LUT_MODE=gather8|select|pair_lut swaps the LUT
+    strategy globally for ablations (role of the reference's
+    FLUTE_ABLATIONS registry swap, flute/__init__.py:54-62).
+
     Decode (small m) is weight-bandwidth-bound: prefer large block_n/block_k
     so each weight byte is touched once and pipelining is deep. Prefill
     (large m) prefers square-ish MXU tiles.
@@ -232,7 +236,10 @@ def get_kernel_config(
         ):
             bk = cand
             break
-    cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk)
+    import os
+
+    lut_mode = os.environ.get("FLUTE_TPU_LUT_MODE", "gather8")
+    cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk, lut_mode=lut_mode)
     if not is_config_supported(cfg, m, n, k, num_bits, group_size):
         # Fall back to the smallest legal config.
         for cand in get_candidate_configs(m, n, k, num_bits, group_size):

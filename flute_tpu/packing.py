@@ -51,6 +51,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -182,6 +183,48 @@ def pack(
     """JAX-array-returning wrapper over :func:`pack_np` (packing is offline
     host work; numpy is the natural engine)."""
     return [jnp.asarray(p) for p in pack_np(np.asarray(codes), num_bits, chunk=chunk)]
+
+
+def pack_jnp(
+    codes: jnp.ndarray,
+    num_bits: int,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+) -> list[jnp.ndarray]:
+    """On-device (jittable) packing — same layout as :func:`pack_np`.
+
+    Exists because device->host->device round trips can be catastrophically
+    slow on remote-attached TPUs; quantize-and-pack pipelines that already
+    hold codes on device should stay there.
+    """
+    fmt = PackFormat(num_bits=num_bits, chunk=chunk)
+    k, n = codes.shape
+    fmt.validate_k(k)
+    codes = codes.astype(jnp.uint32)
+    out = []
+    shift = 0
+    for pb in fmt.plane_bits:
+        sub = (codes >> shift) & ((1 << pb) - 1)
+        shift += pb
+        pairs = sub[0::2] | (sub[1::2] << pb)  # [K/2, N]
+        fb = 2 * pb
+        r = bitutils.WORD_BITS // fb
+        cp = chunk // 2
+        kc = cp // r
+        x = pairs.reshape(k // chunk, r, kc, n)
+        shifts = (fb * jnp.arange(r, dtype=jnp.uint32))[None, :, None, None]
+        words = jax.lax.reduce(
+            x << shifts,
+            jnp.uint32(0),
+            jax.lax.bitwise_or,
+            dimensions=(1,),
+        )  # [K/chunk, kc, N]
+        out.append(
+            jax.lax.bitcast_convert_type(
+                words.reshape(k * pb // bitutils.WORD_BITS, n), jnp.int32
+            )
+        )
+    return out
 
 
 def unpack_np(

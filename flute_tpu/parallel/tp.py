@@ -57,6 +57,25 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def make_hybrid_mesh(
+    tp: int,
+    dp_dcn: int = 1,
+    *,
+    axis_names: tuple[str, str] = ("dp", "tp"),
+) -> Mesh:
+    """Multi-host mesh: tp over fast ICI within each slice, dp over DCN
+    across hosts (the 70B/405B multi-host topology; requires
+    jax.distributed initialization on real pods). Lays out axes so the
+    per-token TP collectives never cross DCN."""
+    from jax.experimental import mesh_utils
+
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, tp),
+        dcn_mesh_shape=(dp_dcn, 1),
+    )
+    return Mesh(devices, axis_names)
+
+
 def _proj_of_path(path) -> Optional[str]:
     """Extract the projection name ('q', 'down', ...) from a tree path."""
     for entry in path:

@@ -1,0 +1,131 @@
+"""Full-model decode throughput: build Llama-3.1-8B (random weights,
+REAL shapes) entirely on-device, NF-quantize + pack on-device (pack_jnp —
+no tunnel uploads), and measure steady-state greedy decode tokens/s/chip.
+
+Usage: python scripts/bench_model.py [--batch 8] [--steps 64] [--bits 4]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flute_tpu import packing
+from flute_tpu.models import llama
+from flute_tpu.nn import QuantizedLinear
+from flute_tpu.ops.kernel_config import get_kernel_config
+from flute_tpu.quantize import nf
+
+
+def build_quantized_8b(bits: int, group: int, batch_hint: int, fuse: bool = True):
+    """Layer-by-layer on-device random init + quantize + pack (dense weights
+    never all live at once)."""
+    c = llama.LlamaConfig.llama31_8b()
+    table = nf.nf_values(bits)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def quantize_kn(w_kn):  # [K, N] dense -> codes [K, N], scales [K/g, N]
+        k, n = w_kn.shape
+        wg = w_kn.astype(jnp.float32).reshape(k // group, group, n)
+        absmax = jnp.max(jnp.abs(wg), axis=1)
+        absmax = jnp.where(absmax == 0, 1.0, absmax)
+        pivots = nf.nf_pivots(table)
+        codes = jnp.searchsorted(pivots, wg / absmax[:, None, :], side="left")
+        return codes.reshape(k, n).astype(jnp.int32), absmax.astype(jnp.bfloat16)
+
+    def qlin(key, k_in, n_out):
+        w = jax.random.normal(key, (k_in, n_out), jnp.bfloat16) * 0.02
+        codes, scales = quantize_kn(w)
+        del w
+        planes = tuple(packing.pack_jnp(codes, bits))
+        cfg = get_kernel_config(batch_hint, n_out, k_in, bits, group)
+        return QuantizedLinear(
+            planes=planes, scales=scales, table=table,
+            num_bits=bits, group_size=group, config_key=cfg.key(),
+        )
+
+    qdim = c.num_heads * c.head_dim
+    kvdim = c.num_kv_heads * c.head_dim
+    layers = []
+    for li in range(c.num_layers):
+        key, *ks = jax.random.split(key, 5)
+        layer = {
+            "attn_norm": jnp.ones((c.hidden_size,), c.dtype),
+            "mlp_norm": jnp.ones((c.hidden_size,), c.dtype),
+            "o": qlin(ks[1], qdim, c.hidden_size),
+            "down": qlin(ks[3], c.intermediate_size, c.hidden_size),
+        }
+        if fuse:
+            layer["qkv"] = qlin(ks[0], c.hidden_size, qdim + 2 * kvdim)
+            layer["gate_up"] = qlin(ks[2], c.hidden_size, 2 * c.intermediate_size)
+        else:
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            layer["q"] = qlin(ks[0], c.hidden_size, qdim)
+            layer["k"] = qlin(k1, c.hidden_size, kvdim)
+            layer["v"] = qlin(k2, c.hidden_size, kvdim)
+            layer["gate"] = qlin(ks[2], c.hidden_size, c.intermediate_size)
+            layer["up"] = qlin(k3, c.hidden_size, c.intermediate_size)
+        layers.append(layer)
+        if li % 8 == 0:
+            jax.block_until_ready(layers[-1]["down"].planes)
+            print(f"  built layer {li}/{c.num_layers}", flush=True)
+
+    key, ek, hk = jax.random.split(key, 3)
+    params = {
+        "embed": jax.random.normal(ek, (c.vocab_size, c.hidden_size), c.dtype) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((c.hidden_size,), c.dtype),
+        "lm_head": jax.random.normal(hk, (c.hidden_size, c.vocab_size), c.dtype) * 0.02,
+    }
+    return c, params
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--bits", type=int, default=4)
+    p.add_argument("--group", type=int, default=64)
+    p.add_argument("--prompt-len", type=int, default=16)
+    p.add_argument("--max-len", type=int, default=256)
+    args = p.parse_args()
+
+    print(f"devices: {jax.devices()}", flush=True)
+    t0 = time.time()
+    config, params = build_quantized_8b(args.bits, args.group, args.batch)
+    jax.block_until_ready(params["embed"])
+    print(f"8B quantize+pack on-device: {time.time() - t0:.1f}s", flush=True)
+
+    from flute_tpu.serving.engine import greedy_generate_fused
+
+    prompts = jnp.asarray(
+        np.random.default_rng(0).integers(1, 1000, (args.batch, args.prompt_len)),
+        jnp.int32,
+    )
+    t0 = time.time()
+    out = greedy_generate_fused(
+        params, config, prompts, 8, max_len=args.max_len
+    )
+    jax.block_until_ready(out)
+    print(f"compile+warmup: {time.time() - t0:.1f}s", flush=True)
+
+    for trial in range(3):
+        t0 = time.time()
+        out = greedy_generate_fused(
+            params, config, prompts, args.steps, max_len=args.max_len
+        )
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        toks = args.batch * args.steps
+        print(
+            f"trial {trial}: {toks} tokens in {dt:.3f}s -> "
+            f"{toks / dt:.1f} tok/s/chip ({dt / args.steps * 1e3:.1f} ms/step)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
