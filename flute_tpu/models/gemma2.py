@@ -199,16 +199,17 @@ def forward(
     # sliding-window variant: only the last `window` slots are visible
     window_mask = causal & (js > slots[:, :, None] - config.sliding_window)
 
-    ks, vs = [], []
+    # in-place-friendly sequential cache update chain (see llama.forward)
+    k_all, v_all = cache["k"], cache["v"]
     for li, layer in enumerate(params["layers"]):
         mask = window_mask if li % 2 == 0 else causal  # even layers slide (HF order)
         x, k_l, v_l = _block(
-            layer, config, x, cos, sin, cache["k"][li], cache["v"][li], pos, mask,
+            layer, config, x, cos, sin, k_all[li], v_all[li], pos, mask,
             axis_name=axis_name,
         )
-        ks.append(k_l)
-        vs.append(v_l)
-    new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_l, li, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_l, li, 0)
+    new_cache = {"k": k_all, "v": v_all}
 
     x = rms_norm_gemma(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.dot(

@@ -319,15 +319,19 @@ def forward(
     if position_offsets is not None:
         mask = mask & (js >= position_offsets[:, None, None])
 
-    ks, vs = [], []
+    # Sequential in-place-friendly update chain on the carried [L, ...]
+    # arrays: each step's buffer is dead after the next update, so XLA
+    # aliases them (a jnp.stack of per-layer copies instead costs ~4x the
+    # whole forward pass per decode step — measured on the 8B model).
+    k_all, v_all = cache["k"], cache["v"]
     for li, layer in enumerate(params["layers"]):
         x, k_l, v_l = _block(
-            layer, config, x, cos, sin, cache["k"][li], cache["v"][li], pos, mask,
+            layer, config, x, cos, sin, k_all[li], v_all[li], pos, mask,
             axis_name=axis_name,
         )
-        ks.append(k_l)
-        vs.append(v_l)
-    new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_l, li, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_l, li, 0)
+    new_cache = {"k": k_all, "v": v_all}
 
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T

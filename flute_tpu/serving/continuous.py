@@ -61,7 +61,9 @@ class ContinuousBatchingEngine:
         fwd = self.forward
         config = self.config
 
-        @jax.jit
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(params, tokens, cache, pos_vec):
             logits, cache = fwd(params, config, tokens, cache, pos_vec)
             return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache

@@ -48,12 +48,13 @@ class Engine:
         fwd = self.forward
         config = self.config
 
-        @jax.jit
+        # the KV cache is donated: each step updates it in place on device
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_step(params, tokens, cache, offsets):
             logits, cache = fwd(params, config, tokens, cache, jnp.int32(0), offsets)
             return logits[:, -1], cache
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(params, tokens, cache, pos, offsets):
             logits, cache = fwd(params, config, tokens, cache, pos, offsets)
             return logits[:, -1], cache
@@ -147,7 +148,9 @@ def greedy_generate(
     return eng.generate(prompts, max_new_tokens=max_new_tokens, eos_id=eos_id)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "forward", "steps"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "forward", "steps"), donate_argnums=(4,)
+)
 def _fused_decode_loop(params, config, forward, first_tokens, cache, pos0, steps):
     def body(carry, _):
         toks, cache, pos = carry
@@ -161,6 +164,13 @@ def _fused_decode_loop(params, config, forward, first_tokens, cache, pos0, steps
     return seq.T, cache  # [B, steps]
 
 
+@functools.partial(jax.jit, static_argnames=("config", "forward"), donate_argnums=(4,))
+def _fused_prefill(params, config, forward, prompt_tokens, cache):
+    logits, cache = forward(params, config, prompt_tokens, cache, jnp.int32(0))
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+    return first, cache
+
+
 def greedy_generate_fused(
     params,
     config,
@@ -169,13 +179,14 @@ def greedy_generate_fused(
     *,
     forward: Callable = llama.forward,
     max_len: int = 1024,
+    init_cache: Callable = llama.init_cache,
 ):
-    """Entirely-on-device greedy generation via lax.scan — zero host
-    round-trips; the shape the throughput benchmark measures."""
+    """Entirely-on-device greedy generation: jitted prefill + lax.scan
+    decode. Everything is compiled — an eager prefill costs seconds of
+    per-op dispatch over remote-attached TPUs."""
     b, p = prompt_tokens.shape
-    cache = llama.init_cache(config, b, max_len)
-    logits, cache = forward(params, config, prompt_tokens, cache, jnp.int32(0))
-    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+    cache = init_cache(config, b, max_len)
+    first, cache = _fused_prefill(params, config, forward, prompt_tokens, cache)
     seq, cache = _fused_decode_loop(
         params, config, forward, first, cache, jnp.int32(p), max_new_tokens - 1
     )

@@ -112,6 +112,21 @@ def main():
     jax.block_until_ready(out)
     print(f"compile+warmup: {time.time() - t0:.1f}s", flush=True)
 
+    # per-step HBM traffic: packed weights + scales + dense embed row reads
+    # (negligible) + dense lm_head
+    c = config
+    qdim, kvdim = c.num_heads * c.head_dim, c.num_kv_heads * c.head_dim
+    per_layer_w = (
+        c.hidden_size * (qdim + 2 * kvdim)
+        + qdim * c.hidden_size
+        + 2 * c.hidden_size * c.intermediate_size
+        + c.intermediate_size * c.hidden_size
+    )
+    step_bytes = (
+        c.num_layers * per_layer_w * (args.bits / 8 + 2 / args.group)
+        + c.hidden_size * c.vocab_size * 2
+    )
+    best = None
     for trial in range(3):
         t0 = time.time()
         out = greedy_generate_fused(
@@ -120,11 +135,20 @@ def main():
         jax.block_until_ready(out)
         dt = time.time() - t0
         toks = args.batch * args.steps
+        step_ms = dt / args.steps * 1e3
+        best = min(best or 1e9, dt)
         print(
             f"trial {trial}: {toks} tokens in {dt:.3f}s -> "
-            f"{toks / dt:.1f} tok/s/chip ({dt / args.steps * 1e3:.1f} ms/step)",
+            f"{toks / dt:.1f} tok/s/chip ({step_ms:.1f} ms/step)",
             flush=True,
         )
+    bw = step_bytes / (best / args.steps) / 1e9
+    print(
+        f"best: {args.batch * args.steps / best:.1f} tok/s/chip; "
+        f"weight-read bandwidth {bw:.0f} GB/s ({100 * bw / 819:.1f}% of "
+        f"819 GB/s roofline)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
