@@ -335,9 +335,12 @@ def forward(
 
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
-    logits = jnp.dot(
-        x, head.astype(x.dtype), preferred_element_type=jnp.float32
-    ) if not isinstance(head, QuantizedLinear) else head(x)
+    if isinstance(head, QuantizedLinear):
+        logits = head(x)[..., :config.vocab_size]  # drop block padding
+    else:
+        logits = jnp.dot(
+            x, head.astype(x.dtype), preferred_element_type=jnp.float32
+        )
     return logits.astype(jnp.float32), new_cache
 
 
@@ -404,6 +407,7 @@ def quantize_model(
     example_batch_size: int = 8,
     chunk: Optional[int] = None,
     fuse: bool = False,
+    quantize_lm_head: bool = False,
 ) -> dict:
     """Quantize every projection matrix in a Llama params pytree (the seven
     per-block linears; embeddings / norms / lm_head stay dense — same layer
@@ -456,4 +460,16 @@ def quantize_model(
                 continue
             new_layer[key] = quant(w)
         out["layers"].append(new_layer)
+    if quantize_lm_head and isinstance(params.get("lm_head"), (jnp.ndarray, jax.Array, np.ndarray)):
+        # beyond reference parity (it never quantizes lm_head): at decode
+        # the dense bf16 head reads hidden*vocab*2 bytes/step — on 8B that
+        # is ~20% of all weight traffic. Logits round through bf16.
+        # Vocab sizes rarely divide into good kernel blocks (128256 =
+        # 128*1002) — pad out-features to a 2048 multiple; forward slices
+        # the logits back to vocab_size.
+        w = jnp.asarray(params["lm_head"])
+        pad = (-w.shape[1]) % 2048
+        if pad:
+            w = jnp.pad(w, ((0, 0), (0, pad)))
+        out["lm_head"] = quant(w)
     return out

@@ -21,9 +21,6 @@ from typing import Iterator
 
 DEFAULT_CHUNK = 256
 
-# Sublane granularity of the bf16 LUT gather tile.
-LUT_ROWS = 16
-
 
 @dataclasses.dataclass(frozen=True)
 class KernelConfig:
@@ -137,12 +134,14 @@ def get_candidate_configs(
             if n % bn != 0:
                 continue
             for bk in (256, 512, 1024, 2048):
-                for split_k in (1, 2, 4, 8):
-                    cfg = KernelConfig(
-                        block_m=bm, block_n=bn, block_k=bk, split_k=split_k
-                    )
-                    if is_config_supported(cfg, m, n, k, num_bits, group_size):
-                        yield cfg
+                # split_k stays 1: the reference's Stream-K/Split-K exists
+                # to fill idle SMs; on TPU the sequential-K Mosaic pipeline
+                # fills equally well with a smaller block_k, and K-split
+                # partials would only add a reduction pass (SURVEY §2.1
+                # "Stream-K ... dissolves").
+                cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk)
+                if is_config_supported(cfg, m, n, k, num_bits, group_size):
+                    yield cfg
 
 
 def _round_up(x: int, mult: int) -> int:

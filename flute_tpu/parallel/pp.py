@@ -132,7 +132,7 @@ class PipelinedModel:
             from flute_tpu.nn import QuantizedLinear
 
             logits = (
-                head(x)
+                head(x)[..., :config.vocab_size]  # drop block padding
                 if isinstance(head, QuantizedLinear)
                 else jnp.dot(
                     x, head.astype(x.dtype), preferred_element_type=jnp.float32

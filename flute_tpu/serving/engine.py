@@ -28,6 +28,35 @@ import numpy as np
 from flute_tpu.models import llama
 
 
+def sample_logits(
+    rng: jax.Array,
+    logits: jax.Array,  # [B, V] float32
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+) -> jax.Array:
+    """Temperature / top-k / top-p (nucleus) sampling; greedy when
+    temperature == 0. The sampling surface the reference outsources to
+    vLLM's sampler."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k is not None:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set whose cumulative prob >= top_p; keep at least 1
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff = jnp.take_along_axis(
+            sorted_logits, cutoff_idx[:, None], axis=-1
+        )
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
 @dataclasses.dataclass
 class Engine:
     """Compiled prefill/decode wrapper around a model forward function.
@@ -71,6 +100,8 @@ class Engine:
         max_new_tokens: int = 32,
         eos_id: Optional[int] = None,
         temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
         rng: Optional[jax.Array] = None,
     ) -> list[list[int]]:
         """Greedy (or sampled) generation for a batch of token prompts."""
@@ -102,7 +133,9 @@ class Engine:
         for _ in range(max_new_tokens):
             if temperature > 0.0:
                 rng, sub = jax.random.split(rng)
-                nxt = jax.random.categorical(sub, next_logits / temperature)
+                nxt = sample_logits(
+                    sub, next_logits, temperature, top_k=top_k, top_p=top_p
+                )
             else:
                 nxt = jnp.argmax(next_logits, axis=-1)
             nxt_np = np.asarray(nxt)

@@ -19,7 +19,10 @@ from flute_tpu.ops.kernel_config import get_kernel_config
 from flute_tpu.quantize import nf
 
 
-def build_quantized_8b(bits: int, group: int, batch_hint: int, fuse: bool = True):
+def build_quantized_8b(
+    bits: int, group: int, batch_hint: int, fuse: bool = True,
+    quantize_head: bool = False,
+):
     """Layer-by-layer on-device random init + quantize + pack (dense weights
     never all live at once)."""
     c = llama.LlamaConfig.llama31_8b()
@@ -78,7 +81,13 @@ def build_quantized_8b(bits: int, group: int, batch_hint: int, fuse: bool = True
         "embed": jax.random.normal(ek, (c.vocab_size, c.hidden_size), c.dtype) * 0.02,
         "layers": layers,
         "final_norm": jnp.ones((c.hidden_size,), c.dtype),
-        "lm_head": jax.random.normal(hk, (c.hidden_size, c.vocab_size), c.dtype) * 0.02,
+        "lm_head": (
+            # pad out-features to a 2048 multiple for good kernel blocks;
+            # llama.forward slices logits back to vocab_size
+            qlin(hk, c.hidden_size, c.vocab_size + (-c.vocab_size) % 2048)
+            if quantize_head
+            else jax.random.normal(hk, (c.hidden_size, c.vocab_size), c.dtype) * 0.02
+        ),
     }
     return c, params
 
@@ -91,11 +100,14 @@ def main():
     p.add_argument("--group", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=16)
     p.add_argument("--max-len", type=int, default=256)
+    p.add_argument("--quantize-head", action="store_true")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
     t0 = time.time()
-    config, params = build_quantized_8b(args.bits, args.group, args.batch)
+    config, params = build_quantized_8b(
+        args.bits, args.group, args.batch, quantize_head=args.quantize_head
+    )
     jax.block_until_ready(params["embed"])
     print(f"8B quantize+pack on-device: {time.time() - t0:.1f}s", flush=True)
 
@@ -122,9 +134,11 @@ def main():
         + 2 * c.hidden_size * c.intermediate_size
         + c.intermediate_size * c.hidden_size
     )
+    head_bytes = c.hidden_size * c.vocab_size * (
+        (args.bits / 8 + 2 / args.group) if args.quantize_head else 2
+    )
     step_bytes = (
-        c.num_layers * per_layer_w * (args.bits / 8 + 2 / args.group)
-        + c.hidden_size * c.vocab_size * 2
+        c.num_layers * per_layer_w * (args.bits / 8 + 2 / args.group) + head_bytes
     )
     best = None
     for trial in range(3):
