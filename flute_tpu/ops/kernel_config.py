@@ -237,6 +237,16 @@ def get_kernel_config(
             break
     import os
 
+    # a shipped tuned registry (role of the reference's
+    # data/qgemm_kernel_raw_tuned_configs.pth) takes precedence over the
+    # static heuristic; lazy import avoids a cycle (tune imports this module)
+    if os.environ.get("FLUTE_TPU_NO_TUNED_REGISTRY") != "1":
+        from flute_tpu import tune as _tune
+
+        hit = _tune.lookup_packaged(m, n, k, num_bits, group_size)
+        if hit is not None:
+            return hit
+
     lut_mode = os.environ.get("FLUTE_TPU_LUT_MODE", "gather8")
     cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk, lut_mode=lut_mode)
     if not is_config_supported(cfg, m, n, k, num_bits, group_size):

@@ -109,6 +109,12 @@ class Engine:
         if len(prompts) > b:
             raise ValueError(f"{len(prompts)} prompts > batch_size {b}")
         plen = max(len(p) for p in prompts)
+        # bucket the prefill length to a power of two so the number of
+        # compiled prefill shapes is O(log max_len), not O(prompt lengths)
+        bucket = 16
+        while bucket < plen:
+            bucket *= 2
+        plen = min(bucket, self.max_len)
         # Left-pad: sequence i's real tokens occupy slots [plen-len_i, plen),
         # so every sequence's next token lands in slot plen with the correct
         # RoPE position (slot - offset).

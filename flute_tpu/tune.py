@@ -238,6 +238,32 @@ def maybe_retune(layer, meta: TuneMetaData, m: int, dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 
 
+_PACKAGED = os.path.join(os.path.dirname(__file__), "data", "tuned_configs.json")
+_packaged_loaded = False
+
+
+def lookup_packaged(
+    m: int, n: int, k: int, num_bits: int, group_size: int, dtype=jnp.bfloat16
+) -> Optional[KernelConfig]:
+    """Consult the registry shipped with the package (and anything already
+    tuned this process) without triggering a tuning sweep. Keys match on
+    device kind, so entries tuned on one chip generation never leak onto
+    another."""
+    global _packaged_loaded
+    if not _packaged_loaded:
+        _packaged_loaded = True
+        try:
+            load_registry(_PACKAGED)
+        except Exception:
+            pass
+    try:
+        kind = _device_kind()
+    except Exception:
+        return None
+    key = _memo_key(m, n, k, num_bits, group_size, jnp.dtype(dtype).name, kind)
+    return _MEMO.get(key)
+
+
 def save_registry(path: str) -> None:
     data = {
         "|".join(map(str, k)): v.key() for k, v in _MEMO.items()

@@ -39,11 +39,24 @@ def build_quantized_8b(
         codes = jnp.searchsorted(pivots, wg / absmax[:, None, :], side="left")
         return codes.reshape(k, n).astype(jnp.int32), absmax.astype(jnp.bfloat16)
 
-    def qlin(key, k_in, n_out):
-        w = jax.random.normal(key, (k_in, n_out), jnp.bfloat16) * 0.02
-        codes, scales = quantize_kn(w)
-        del w
-        planes = tuple(packing.pack_jnp(codes, bits))
+    def qlin(key, k_in, n_out, n_chunk=32768):
+        # chunk along N: eager quantize+pack intermediates are ~8x the
+        # dense bytes; the lm_head (4096x131072) OOMs unchunked
+        plane_parts, scale_parts = [], []
+        for i, ofs in enumerate(range(0, n_out, n_chunk)):
+            nc = min(n_chunk, n_out - ofs)
+            sub = jax.random.fold_in(key, i)
+            w = jax.random.normal(sub, (k_in, nc), jnp.bfloat16) * 0.02
+            codes, scales = quantize_kn(w)
+            del w
+            plane_parts.append(packing.pack_jnp(codes, bits))
+            scale_parts.append(scales)
+            del codes
+        planes = tuple(
+            jnp.concatenate([p[j] for p in plane_parts], axis=1)
+            for j in range(len(plane_parts[0]))
+        )
+        scales = jnp.concatenate(scale_parts, axis=1)
         cfg = get_kernel_config(batch_hint, n_out, k_in, bits, group)
         return QuantizedLinear(
             planes=planes, scales=scales, table=table,
