@@ -64,6 +64,42 @@ def _cmd_generate(args):
         print(out[0])
 
 
+def _cmd_serve(args):
+    from flute_tpu.integrations.huggingface import load_quantized_model, model_fns
+    from flute_tpu.serving.continuous import ContinuousBatchingEngine
+    from flute_tpu.serving.server import serve
+
+    params, config, sidecar = load_quantized_model(
+        args.checkpoint, batch_size=args.num_slots, retune=args.retune
+    )
+    if config is None:
+        raise SystemExit("checkpoint lacks config.json; cannot build model")
+    fwd, init_cache = model_fns(
+        (sidecar.get("model_config") or {}).get("model_type", "llama")
+    )
+    tok = None
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.checkpoint)
+    except Exception:
+        pass
+    eng = ContinuousBatchingEngine(
+        params=params, config=config, forward=fwd, init_cache=init_cache,
+        num_slots=args.num_slots, max_len=args.max_len,
+        eos_id=getattr(tok, "eos_token_id", None),
+    )
+    srv = serve(eng, host=args.host, port=args.port, tokenizer=tok)
+    print(f"serving on http://{args.host}:{srv.server_address[1]}/v1/completions")
+    import time as _time
+
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def _cmd_bench_kernel(args):
     import runpy
 
@@ -91,6 +127,15 @@ def main(argv=None):
     g.add_argument("--max-len", type=int, default=2048)
     g.add_argument("--retune", action="store_true")
     g.set_defaults(fn=_cmd_generate)
+
+    s = sub.add_parser("serve", help="HTTP completion server (continuous batching)")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--num-slots", type=int, default=8)
+    s.add_argument("--max-len", type=int, default=2048)
+    s.add_argument("--retune", action="store_true")
+    s.set_defaults(fn=_cmd_serve)
 
     b = sub.add_parser("bench-kernel", help="run the kernel benchmark")
     b.set_defaults(fn=_cmd_bench_kernel)

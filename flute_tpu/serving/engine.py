@@ -110,11 +110,13 @@ class Engine:
             raise ValueError(f"{len(prompts)} prompts > batch_size {b}")
         plen = max(len(p) for p in prompts)
         # bucket the prefill length to a power of two so the number of
-        # compiled prefill shapes is O(log max_len), not O(prompt lengths)
+        # compiled prefill shapes is O(log max_len), not O(prompt lengths);
+        # skip bucketing when it would eat the generation headroom
         bucket = 16
         while bucket < plen:
             bucket *= 2
-        plen = min(bucket, self.max_len)
+        if bucket + max_new_tokens <= self.max_len:
+            plen = bucket
         # Left-pad: sequence i's real tokens occupy slots [plen-len_i, plen),
         # so every sequence's next token lands in slot plen with the correct
         # RoPE position (slot - offset).

@@ -1,0 +1,77 @@
+"""HTTP completion server tests: concurrent requests through the
+continuous-batching loop (role of the reference's vLLM api_server smoke,
+tests/vllm.sh)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from flute_tpu.models import llama
+from flute_tpu.serving.continuous import ContinuousBatchingEngine
+from flute_tpu.serving.server import serve
+
+
+@pytest.fixture(scope="module")
+def server():
+    config = llama.LlamaConfig.tiny()
+    params = llama.init_params(config, rng=0)
+    qparams = llama.quantize_model(params, num_bits=4, group_size=64)
+    eng = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=2, max_len=32
+    )
+    srv = serve(eng, port=0)  # ephemeral port
+    yield srv
+    srv.shutdown()
+    srv.loop.shutdown()
+
+
+def _post(srv, payload):
+    port = srv.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    port = server.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_single_completion(server):
+    code, out = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4})
+    assert code == 200
+    assert len(out["tokens"]) == 4
+
+
+def test_concurrent_requests(server):
+    results = {}
+
+    def run(i):
+        code, out = _post(
+            server, {"prompt": [1 + i, 5, 9], "max_tokens": 3}
+        )
+        results[i] = (code, out)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 4
+    for code, out in results.values():
+        assert code == 200 and len(out["tokens"]) == 3
+
+
+def test_bad_request(server):
+    code, out = _post(server, {"prompt": "text not supported w/o tokenizer"})
+    assert code == 400 and "error" in out
