@@ -11,7 +11,6 @@ environment has no egress; pass your own tokens otherwise).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

@@ -17,7 +17,6 @@ via :func:`flute_tpu.tune.maybe_retune`.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import re

@@ -64,6 +64,55 @@ def _cmd_generate(args):
         print(out[0])
 
 
+def _cmd_calibrate(args):
+    """NFL: learn per-group scales on a token corpus, then quantize and
+    save (role of the reference's learn_scales flow, learnable.py:75-156
+    + prepare_model_flute custom-scales path)."""
+    import numpy as np
+
+    from flute_tpu.integrations import checkpoint as ckpt_io
+    from flute_tpu.integrations.huggingface import (
+        config_from_hf,
+        load_hf_params,
+        model_type_of,
+    )
+    from flute_tpu.quantize import learnable
+
+    config = config_from_hf(args.model_dir)
+    params = load_hf_params(args.model_dir, config)
+
+    if args.tokens_npy:
+        ids = np.load(args.tokens_npy).astype(np.int32).reshape(-1)
+    else:
+        from flute_tpu.eval import wikitext2_tokens
+
+        ids = wikitext2_tokens(args.model_dir, split="train")
+    n = args.batch_size * args.seq_len
+    nb = min(args.steps, len(ids) // n)
+    batches = [
+        ids[i * n:(i + 1) * n].reshape(args.batch_size, args.seq_len)
+        for i in range(nb)
+    ]
+
+    from flute_tpu.models import gemma2, llama
+
+    fwd = gemma2.forward if model_type_of(args.model_dir) == "gemma2" else llama.forward
+    trained = learnable.learn_scales(
+        params, config, batches,
+        num_bits=args.num_bits, group_size=args.group_size,
+        learning_rate=args.lr, forward=fwd,
+        callback=lambda i, l: print(f"step {i}: loss {l:.4f}", flush=True),
+    )
+    final = learnable.finalize_model(trained)
+    ckpt_io.save_quantized(
+        args.output_dir, final,
+        model_config={"model_type": model_type_of(args.model_dir),
+                      "source": args.model_dir, "nfl": True},
+        num_bits=args.num_bits, group_size=args.group_size,
+    )
+    print(f"NFL-calibrated checkpoint written to {args.output_dir}")
+
+
 def _cmd_serve(args):
     from flute_tpu.integrations.huggingface import load_quantized_model, model_fns
     from flute_tpu.serving.continuous import ContinuousBatchingEngine
@@ -127,6 +176,19 @@ def main(argv=None):
     g.add_argument("--max-len", type=int, default=2048)
     g.add_argument("--retune", action="store_true")
     g.set_defaults(fn=_cmd_generate)
+
+    c = sub.add_parser("calibrate", help="NFL learned-scale calibration")
+    c.add_argument("--model-dir", required=True)
+    c.add_argument("--output-dir", required=True)
+    c.add_argument("--num-bits", type=int, default=4)
+    c.add_argument("--group-size", type=int, default=64)
+    c.add_argument("--tokens-npy", default=None,
+                   help=".npy of token ids (default: wikitext-2 via datasets)")
+    c.add_argument("--steps", type=int, default=128)
+    c.add_argument("--batch-size", type=int, default=2)
+    c.add_argument("--seq-len", type=int, default=512)
+    c.add_argument("--lr", type=float, default=1e-4)
+    c.set_defaults(fn=_cmd_calibrate)
 
     s = sub.add_parser("serve", help="HTTP completion server (continuous batching)")
     s.add_argument("--checkpoint", required=True)

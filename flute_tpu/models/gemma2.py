@@ -34,7 +34,6 @@ from flute_tpu.models.llama import (
     gqa_attention,
     rope_tables,
 )
-from flute_tpu.nn import QuantizedLinear
 
 
 @dataclasses.dataclass(frozen=True)

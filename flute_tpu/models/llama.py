@@ -420,7 +420,6 @@ def quantize_model(
     serving stack). Fused layers are not TP-shardable in round 1 —
     parallel.validate_tp rejects them.
     """
-    from flute_tpu import packing
     from flute_tpu.nn import quantize_linear
 
     kw = {}

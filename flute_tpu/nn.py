@@ -20,7 +20,7 @@ whose linear leaves are ``QuantizedLinear`` nodes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Optional
+from typing import Any
 
 from flute_tpu.serving.continuous import ContinuousBatchingEngine
 

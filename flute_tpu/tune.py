@@ -21,7 +21,6 @@ random = threshold; tune.py:294-392).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import os
 from typing import Optional, Sequence
@@ -34,7 +33,6 @@ from flute_tpu import packing
 from flute_tpu.ops import lut_gemm
 from flute_tpu.ops.kernel_config import (
     KernelConfig,
-    fit_config,
     get_candidate_configs,
     get_kernel_config,
 )

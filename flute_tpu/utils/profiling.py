@@ -14,7 +14,7 @@ import json
 import logging
 import sys
 import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 
