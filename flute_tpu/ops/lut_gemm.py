@@ -602,6 +602,24 @@ def lut_qgemm(
     if k % scales.shape[0] != 0:
         raise ValueError(f"K={k} not divisible by scale groups {scales.shape[0]}")
     group_size = k // scales.shape[0]
+    # shape invariants (role of the reference's fake-op checks, ops.py:4-55)
+    plane_bits_chk = bitutils.planes_for_bits(num_bits)
+    if len(planes) != len(plane_bits_chk):
+        raise ValueError(
+            f"{num_bits}-bit weights need {len(plane_bits_chk)} plane(s), "
+            f"got {len(planes)}"
+        )
+    for p, pb in zip(planes, plane_bits_chk):
+        want = (k * pb // bitutils.WORD_BITS, n)
+        if tuple(p.shape) != want:
+            raise ValueError(
+                f"packed plane shape {tuple(p.shape)} != expected {want} "
+                f"for K={k}, N={n}, plane bits={pb}"
+            )
+    if table is not None and table.shape[-1] not in (2**num_bits,):
+        raise ValueError(
+            f"table has {table.shape[-1]} entries, expected {2**num_bits}"
+        )
 
     if config is None:
         config = get_kernel_config(m, n, k, num_bits, group_size)
