@@ -127,3 +127,26 @@ def test_validate_tp_rejects_bad_topology(tiny_q):
     config, qparams = tiny_q
     with pytest.raises(ValueError):
         validate_tp(qparams, config, tp=3)
+
+
+def test_shard_merge_3bit_two_planes():
+    """K-sharding must slice both 3-bit planes consistently (the reference's
+    dual-tensor Q/Q2 case, its hardest resharding path)."""
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((128, 512)), jnp.float32)
+    layer = fnn.quantize_linear(w, num_bits=3, group_size=64, chunk=128)
+    assert len(layer.planes) == 2
+    shards = shard_linear(layer, 2, "k")
+    merged = merge_shards(shards, "k")
+    for p0, p1 in zip(layer.planes, merged.planes):
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.bfloat16)
+    full = np.asarray(layer(x), np.float32)
+    parts = [
+        np.asarray(s(x[:, i * 256:(i + 1) * 256]), np.float32)
+        for i, s in enumerate(shards)
+    ]
+    np.testing.assert_allclose(
+        parts[0] + parts[1], full,
+        atol=BF16_RTOL * max(np.abs(full).max(), 1.0), rtol=0,
+    )
