@@ -124,12 +124,8 @@ def _block(
         v = apply_linear(params["v"], h).reshape(b, t, -1, d)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0)
-    )
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0)
-    )
+    k_cache = _llama._cache_update(k_cache, k, pos)
+    v_cache = _llama._cache_update(v_cache, v, pos)
     attn = gqa_attention(
         q,
         k_cache,
@@ -164,8 +160,11 @@ def _block(
 
 def init_cache(config: Gemma2Config, batch: int, max_len: int, dtype=None) -> dict:
     dtype = dtype or config.dtype
-    shape = (config.num_layers, batch, max_len, config.num_kv_heads, config.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    shape = (batch, config.num_kv_heads, max_len, config.head_dim)
+    return {
+        "k": [jnp.zeros(shape, dtype) for _ in range(config.num_layers)],
+        "v": [jnp.zeros(shape, dtype) for _ in range(config.num_layers)],
+    }
 
 
 def forward(
@@ -180,7 +179,7 @@ def forward(
     """Same contract as llama.forward — drop-in for Engine/greedy_generate
     and flute_tpu.parallel.tp_forward_fn."""
     b, t = tokens.shape
-    s = cache["k"].shape[2]
+    s = cache["k"][0].shape[2]  # per-layer [B, Hkv, S, D]
     x = params["embed"][tokens].astype(config.dtype)
     x = x * jnp.asarray(config.hidden_size**0.5, config.dtype)
 
@@ -198,17 +197,17 @@ def forward(
     # sliding-window variant: only the last `window` slots are visible
     window_mask = causal & (js > slots[:, :, None] - config.sliding_window)
 
-    # in-place-friendly sequential cache update chain (see llama.forward)
-    k_all, v_all = cache["k"], cache["v"]
+    # per-layer cache leaves (see llama.init_cache for the rationale)
+    ks, vs = [], []
     for li, layer in enumerate(params["layers"]):
         mask = window_mask if li % 2 == 0 else causal  # even layers slide (HF order)
         x, k_l, v_l = _block(
-            layer, config, x, cos, sin, k_all[li], v_all[li], pos, mask,
+            layer, config, x, cos, sin, cache["k"][li], cache["v"][li], pos, mask,
             axis_name=axis_name,
         )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_l, li, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_l, li, 0)
-    new_cache = {"k": k_all, "v": v_all}
+        ks.append(k_l)
+        vs.append(v_l)
+    new_cache = {"k": ks, "v": vs}
 
     x = rms_norm_gemma(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.dot(

@@ -80,10 +80,10 @@ class PipelinedModel:
         out = []
         for stage, dev in zip(self.stages, self.devices):
             nl = len(stage["layers"])
-            shape = (nl, batch, max_len, c.num_kv_heads, c.head_dim)
+            shape = (batch, c.num_kv_heads, max_len, c.head_dim)
             cache = {
-                "k": jnp.zeros(shape, c.dtype),
-                "v": jnp.zeros(shape, c.dtype),
+                "k": [jnp.zeros(shape, c.dtype) for _ in range(nl)],
+                "v": [jnp.zeros(shape, c.dtype) for _ in range(nl)],
             }
             out.append(jax.device_put(cache, dev))
         return out
@@ -100,7 +100,7 @@ class PipelinedModel:
             else:
                 x = x_or_tokens
             b, t = x.shape[:2]
-            s = cache["k"].shape[2]
+            s = cache["k"][0].shape[2]  # per-layer [B, Hkv, S, D]
             slots = pos + jnp.arange(t, dtype=jnp.int32)[None, :]
             if offsets is None:
                 positions = jnp.broadcast_to(slots, (b, t))
@@ -120,7 +120,7 @@ class PipelinedModel:
                 )
                 ks.append(k_l)
                 vs.append(v_l)
-            new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+            new_cache = {"k": ks, "v": vs}
             if not is_last:
                 return x, new_cache
             x = llama.rms_norm(x, stage["final_norm"], config.rms_norm_eps)

@@ -134,11 +134,15 @@ def llama_partition_specs(params: Any, tp_axis: str = "tp") -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def cache_partition_spec(tp_axis: str = "tp", dp_axis: Optional[str] = "dp") -> Any:
-    """KV cache [L, B, S, Hkv, D]: batch over dp, heads over tp."""
+def cache_partition_spec(
+    num_layers: int, tp_axis: str = "tp", dp_axis: Optional[str] = "dp"
+) -> Any:
+    """KV cache: per-layer [B, Hkv, S, D] leaves — batch over dp, heads
+    over tp."""
+    leaf = P(dp_axis, tp_axis, None, None)
     return {
-        "k": P(None, dp_axis, None, tp_axis, None),
-        "v": P(None, dp_axis, None, tp_axis, None),
+        "k": [leaf] * num_layers,
+        "v": [leaf] * num_layers,
     }
 
 
@@ -206,7 +210,7 @@ def tp_forward_fn(config, mesh: Mesh, params_specs: Any, *, forward=None):
     from flute_tpu.models import llama
 
     fwd = forward or llama.forward
-    cache_spec = cache_partition_spec()
+    cache_spec = cache_partition_spec(config.num_layers)
 
     @functools.partial(
         shard_map,

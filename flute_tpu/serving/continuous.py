@@ -120,14 +120,15 @@ class ContinuousBatchingEngine:
             # occupies cache columns [0, plen): shift out the left padding.
             pad = bucket - plen
             for key in ("k", "v"):
-                block = jax.lax.dynamic_slice_in_dim(
-                    small_cache[key], pad, plen, axis=2
-                )  # [L, 1, plen, H, D]
-                self._cache[key] = jax.lax.dynamic_update_slice(
-                    self._cache[key],
-                    block.astype(self._cache[key].dtype),
-                    (0, slot, 0, 0, 0),
-                )
+                for li, small in enumerate(small_cache[key]):
+                    block = jax.lax.dynamic_slice_in_dim(
+                        small, pad, plen, axis=2
+                    )  # [1, H, plen, D]
+                    self._cache[key][li] = jax.lax.dynamic_update_slice(
+                        self._cache[key][li],
+                        block.astype(self._cache[key][li].dtype),
+                        (slot, 0, 0, 0),
+                    )
             tok = int(np.asarray(nxt)[0])
             self._slots[slot] = req
             self._pos[slot] = plen
