@@ -183,7 +183,10 @@ def forward(
     x = params["embed"][tokens].astype(config.dtype)
     x = x * jnp.asarray(config.hidden_size**0.5, config.dtype)
 
-    slots = pos + jnp.arange(t, dtype=jnp.int32)[None, :]
+    # pos: scalar (plain decode) or [B] vector (continuous batching) — same
+    # contract as llama.forward:329.
+    pos_col = pos[:, None] if pos.ndim == 1 else pos
+    slots = pos_col + jnp.arange(t, dtype=jnp.int32)[None, :]
     if position_offsets is None:
         positions = jnp.broadcast_to(slots, (b, t))
     else:

@@ -26,8 +26,12 @@ _tried = False
 
 
 def _build() -> bool:
+    # Portable flags on purpose: a -march=native .so copied between machines
+    # can SIGILL at call time (uncatchable through ctypes), which would hard
+    # crash the default quantize path. -mtune=generic keeps the binary safe
+    # on any x86-64; the inner loop is bit-shuffling, not FLOPs.
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-mtune=generic", "-std=c++17", "-shared", "-fPIC",
         "-pthread", _SRC, "-o", _LIB,
     ]
     try:
@@ -37,8 +41,37 @@ def _build() -> bool:
         return False
 
 
+def _selfcheck_subprocess() -> bool:
+    """Run a tiny pack/unpack round-trip in a *subprocess* so that a library
+    built for another microarchitecture faults the child, not us."""
+    import sys
+
+    code = (
+        "import numpy as np, flute_tpu.native as nat;"
+        "rng = np.random.default_rng(0);"
+        "c = rng.integers(0, 16, (256, 8), dtype=np.int32);"
+        "w = nat.pack_plane(c, 0, 4, 256);"
+        "u = nat.unpack_plane(w, 4, 256);"
+        "assert u is not None and np.array_equal(u, c);"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            timeout=60,
+            env={**os.environ, "FLUTE_TPU_NATIVE_SELFCHECK": "1"},
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    A pre-existing .so is only trusted after a subprocess self-check (it may
+    have been built on a different machine); a freshly built one is used
+    directly."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
@@ -46,6 +79,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         try:
             fresh = os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+            if fresh and os.environ.get("FLUTE_TPU_NATIVE_SELFCHECK") != "1":
+                if not _selfcheck_subprocess():
+                    fresh = False  # stale/foreign binary: rebuild
             if not fresh and not _build():
                 return None
             lib = ctypes.CDLL(_LIB)

@@ -51,8 +51,8 @@ def _split_factors(n: int) -> tuple[int, int]:
     return 1 << la, 1 << (lg - la)
 
 
-@functools.partial(jax.jit, static_argnames=("scale_is_default",))
-def _fwht(x: jax.Array, scale: jax.Array, *, scale_is_default: bool) -> jax.Array:
+@jax.jit
+def _fwht(x: jax.Array, scale: jax.Array) -> jax.Array:
     n = x.shape[-1]
     dt = x.dtype
     if n <= 256:
@@ -80,7 +80,7 @@ def hadamard_transform(x: jax.Array, scale: Optional[float] = None) -> jax.Array
         )
     if scale is None:
         scale = 1.0 / math.sqrt(n)
-    return _fwht(x, jnp.float32(scale), scale_is_default=scale is None)
+    return _fwht(x, jnp.float32(scale))
 
 
 def grouped_hadamard_transform(

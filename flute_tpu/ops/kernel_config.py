@@ -237,6 +237,11 @@ def get_kernel_config(
             break
     import os
 
+    # The FLUTE_TPU_LUT_MODE ablation override must always win — including
+    # over tuned-registry hits — or ablation runs silently measure the
+    # default path (advisor finding r1).
+    lut_override = os.environ.get("FLUTE_TPU_LUT_MODE")
+
     # a shipped tuned registry (role of the reference's
     # data/qgemm_kernel_raw_tuned_configs.pth) takes precedence over the
     # static heuristic; lazy import avoids a cycle (tune imports this module)
@@ -245,9 +250,11 @@ def get_kernel_config(
 
         hit = _tune.lookup_packaged(m, n, k, num_bits, group_size)
         if hit is not None:
+            if lut_override is not None and lut_override != hit.lut_mode:
+                hit = dataclasses.replace(hit, lut_mode=lut_override)
             return hit
 
-    lut_mode = os.environ.get("FLUTE_TPU_LUT_MODE", "gather8")
+    lut_mode = lut_override or "gather8"
     cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk, lut_mode=lut_mode)
     if not is_config_supported(cfg, m, n, k, num_bits, group_size):
         # Fall back to the smallest legal config.

@@ -68,6 +68,22 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# TPU generations whose tpu.dynamic_gather is verified (on hardware) to wrap
+# indices mod 8; on these the `& 7` index mask can be dropped. v5e verified
+# bit-exact on-chip 2026-08; other generations keep the mask until probed.
+_WRAP_VERIFIED_KINDS = ("v5 lite", "v5e")
+
+
+@functools.lru_cache(maxsize=1)
+def _hw_wrap_ok() -> bool:
+    """True when the attached device's gather is known to hw-wrap indices."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return False
+    return any(v in kind for v in _WRAP_VERIFIED_KINDS)
+
+
 # ---------------------------------------------------------------------------
 # Reference (oracle) implementation — pure jnp, defines the exact semantics.
 # ---------------------------------------------------------------------------
@@ -530,8 +546,9 @@ def _lut_qgemm_2d(
         out_dtype=ct,
         bn=bn,
         joint_entries=joint_entries,
-        # hw mod-8 index wrap exists on real TPUs but not in the interpreter
-        wrap=not interpret,
+        # hw mod-8 index wrap: only on verified TPU generations, and never in
+        # the interpreter (which does not emulate the wrap)
+        wrap=not interpret and _hw_wrap_ok(),
         # group-scaled accumulation wins when the MXU is latency-tolerant
         # (decode); weight-side scaling wins at prefill M (deep-K matmuls)
         group_acc=bm <= 64,

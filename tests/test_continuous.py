@@ -81,3 +81,23 @@ def test_eos_stops_early(tiny_q):
     rid2 = eng2.submit([1, 5, 9], max_new_tokens=5)
     out = eng2.run()[rid2]
     assert out == full[:1]
+
+
+def test_gemma2_continuous_engine():
+    """Gemma-2 under the continuous engine: decode passes a [B] position
+    vector into gemma2.forward (advisor finding r1 — the pos.ndim==1
+    branch was missing and crashed on the first decode step)."""
+    from flute_tpu.models import gemma2
+
+    config = gemma2.Gemma2Config.tiny()
+    params = gemma2.init_params(config, rng=0)
+    qparams = gemma2.quantize_model(params, num_bits=4, group_size=64, chunk=128)
+    eng = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=2, max_len=32,
+        forward=gemma2.forward, init_cache=gemma2.init_cache,
+    )
+    prompts = [[1, 5, 9], [2, 6, 10, 14], [3, 7]]
+    rids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    out = eng.run()
+    assert sorted(out) == sorted(rids)
+    assert all(len(v) == 4 for v in out.values())
