@@ -79,7 +79,10 @@ def main():
         # the slope measurement to rise above tunnel dispatch noise
         est = weight_bytes_est / (500e9)
         iters = min(4000, max(100, int(0.04 / est)))
-        t = bench_op(f, x, iters=iters)
+        # best-of-3: the slope measurement is tunnel-noise-sensitive; the
+        # minimum reflects device capability (reference tune.py uses
+        # triton do_bench's min the same way)
+        t = min(bench_op(f, x, iters=iters) for _ in range(3))
         weight_bytes = sum(p.size * 4 for p in planes)
         byts = weight_bytes + scales.size * 2 + x.size * 2 + m * n * 2
         total_time += t

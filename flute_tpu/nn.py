@@ -36,7 +36,7 @@ def _field(**kw):
     return dataclasses.field(**kw)
 
 
-def _pack_auto(codes_kn: jax.Array, num_bits: int, chunk: int):
+def _pack_auto(codes_kn: jax.Array, num_bits: int, chunk: int, wide: bool = False):
     """Pack on the device the codes live on: accelerator-resident codes use
     the jnp packer (device->host round trips through a remote TPU tunnel
     are minutes for large models); host codes use the native/numpy packer."""
@@ -44,8 +44,10 @@ def _pack_auto(codes_kn: jax.Array, num_bits: int, chunk: int):
         codes_kn, "devices"
     ) else {"cpu"}
     if platforms - {"cpu"}:
+        if wide:
+            return packing.pack_w3_wide_jnp(codes_kn, chunk=chunk)
         return packing.pack_jnp(codes_kn, num_bits, chunk=chunk)
-    return packing.pack(codes_kn, num_bits, chunk=chunk)
+    return packing.pack(codes_kn, num_bits, chunk=chunk, wide=wide)
 
 
 @jax.tree_util.register_dataclass
@@ -140,6 +142,7 @@ def quantize_linear(
     example_batch_size: int = 8,
     config: Optional[KernelConfig] = None,
     chunk: int = packing.DEFAULT_CHUNK,
+    wide: Optional[bool] = None,
 ) -> QuantizedLinear:
     """NF-quantize a dense ``[out, in]`` weight into a :class:`QuantizedLinear`.
 
@@ -160,7 +163,14 @@ def quantize_linear(
             w, jnp.asarray(table, jnp.float32), group_size, custom_scales
         )
     codes_kn = jnp.asarray(codes).T  # [K, N]
-    planes = tuple(_pack_auto(codes_kn, num_bits, chunk))
+    # 3-bit defaults to the wide single-plane layout when the chunk allows
+    # (measurably faster; docs/KERNEL_NOTES.md round 2) — pass wide=False
+    # for the classic 2+1-plane layout
+    if wide is None:
+        wide = num_bits == 3 and chunk % 256 == 0
+    elif wide and (num_bits != 3 or chunk % 256 != 0):
+        raise ValueError("wide layout requires num_bits=3 and chunk % 256 == 0")
+    planes = tuple(_pack_auto(codes_kn, num_bits, chunk, wide=wide))
     scales_kn = jnp.asarray(scales).T.astype(dtype)  # [K/g, N]
     if config is None:
         config = get_kernel_config(example_batch_size, n, k, num_bits, group_size)

@@ -43,19 +43,31 @@ class KernelConfig:
     # Stream-K cross-CTA fixup (flute/csrc/tile_scheduler_utils.hpp:68-209):
     # partials are materialized and summed by XLA, never atomically.
     split_k: int = 1
+    # Accumulation policy (role of the reference's AccumulationModeEnum
+    # {Low, High, Mixed}, config.hpp:111 / conversion_utils.hpp:18-54):
+    #   "high"  — f32 VMEM accumulator across K blocks (default; MXU-native);
+    #   "low"   — accumulate in the compute dtype (bf16/f16) — the
+    #             reference's Low mode, kept as a measured ablation
+    #             (see docs/ACCUM.md); never the right choice on TPU.
+    accum: str = "high"
 
     def key(self) -> str:
-        return (
+        base = (
             f"m{self.block_m}n{self.block_n}k{self.block_k}"
             f"_{self.lut_mode}_c{self.chunk}_s{self.split_k}"
         )
+        # default accum omitted so existing persisted keys stay valid
+        if self.accum != "high":
+            base += f"_a{self.accum}"
+        return base
 
     @staticmethod
     def from_key(key: str) -> "KernelConfig":
         import re
 
         m = re.fullmatch(
-            r"m(\d+)n(\d+)k(\d+)_([a-z0-9_]+)_c(\d+)_s(\d+)", key
+            r"m(\d+)n(\d+)k(\d+)_([a-z0-9_]+?)_c(\d+)_s(\d+)(?:_a([a-z0-9]+))?",
+            key,
         )
         if m is None:
             raise ValueError(f"Bad KernelConfig key: {key}")
@@ -66,6 +78,7 @@ class KernelConfig:
             lut_mode=m.group(4),
             chunk=int(m.group(5)),
             split_k=int(m.group(6)),
+            accum=m.group(7) or "high",
         )
 
 
@@ -130,10 +143,10 @@ def get_candidate_configs(
     flute/codegen_utils.py:89-176)."""
     block_ms = sorted({max(16, min(_round_up(m, 16), bm)) for bm in (16, 64, 128, 256)})
     for bm in block_ms:
-        for bn in (256, 512, 1024, 2048):
+        for bn in (256, 512, 1024, 2048, 4096):
             if n % bn != 0:
                 continue
-            for bk in (256, 512, 1024, 2048):
+            for bk in (256, 512, 1024, 2048, 4096):
                 # split_k stays 1: the reference's Stream-K/Split-K exists
                 # to fill idle SMs; on TPU the sequential-K Mosaic pipeline
                 # fills equally well with a smaller block_k, and K-split

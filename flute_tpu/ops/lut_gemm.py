@@ -323,6 +323,49 @@ def _interleave_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _unpack_wide3_payload(
+    words: jnp.ndarray,
+    tile: jnp.ndarray,
+    block_k: int,
+    chunk: int,
+    bn: int,
+    wrap: bool,
+) -> jnp.ndarray:
+    """Wide 3-bit path: extract 6-bit pair fields from the planar 3-word
+    groups (see packing.pack_w3_wide_np) and look both sides up with single
+    chainless 8-entry gathers — the raw field is the even index (hardware
+    mod-8 wrap eats the high bits), one shift gives the odd index.
+    Returns the merged 32-bit payloads [block_k//2, bn]."""
+    op_e = jnp.broadcast_to(tile[:, 0:1], (SUBLANE_TILE, bn))
+    op_o = jnp.broadcast_to(tile[:, 1:2], (SUBLANE_TILE, bn))
+    cp = chunk // 2
+    ntrip = cp // 16
+    kc = 3 * ntrip
+    out = []
+    for c in range(block_k // chunk):
+        w = words[c * kc:(c + 1) * kc]
+        ws = (w[0:ntrip], w[ntrip:2 * ntrip], w[2 * ntrip:])
+        for j in range(16):
+            bit = 6 * j
+            a, off = bit // 32, bit % 32
+            if off + 6 <= 32:
+                pf = (ws[a] >> off) & 0x3F
+            else:
+                # straddling field: mask the low part BEFORE or-ing — int32
+                # >> is arithmetic, and sign extension would otherwise
+                # pollute the bits contributed by the next word
+                lo = (ws[a] >> off) & ((1 << (32 - off)) - 1)
+                pf = (lo | (ws[a + 1] << (32 - off))) & 0x3F
+            for s in range(ntrip // SUBLANE_TILE):
+                sl = pf[s * SUBLANE_TILE:(s + 1) * SUBLANE_TILE]
+                idx_e = sl if wrap else (sl & (SUBLANE_TILE - 1))
+                out.append(
+                    _gather_sublane(op_e, idx_e)
+                    | _gather_sublane(op_o, sl >> 3)
+                )
+    return jnp.concatenate(out, axis=0)
+
+
 def _lut_qgemm_kernel(
     *refs,
     num_planes: int,
@@ -335,6 +378,7 @@ def _lut_qgemm_kernel(
     joint_entries: int,
     wrap: bool,
     group_acc: bool,
+    wide3: bool = False,
 ):
     x_ref = refs[0]
     plane_refs = refs[1:1 + num_planes]
@@ -352,15 +396,26 @@ def _lut_qgemm_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    ce, co = _unpack_pair_fields(
-        [p[:] for p in plane_refs], plane_bits, bk, config.chunk
-    )
+    if wide3:
+        if not is16:
+            raise NotImplementedError("wide 3-bit requires a 16-bit dtype")
+        payload32 = _unpack_wide3_payload(
+            plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap
+        )
+        deq = pltpu.bitcast(payload32, out_dtype)
+        ce = co = None
+    else:
+        ce, co = _unpack_pair_fields(
+            [p[:] for p in plane_refs], plane_bits, bk, config.chunk
+        )
     tile = t_ref[:]
     num_bits = sum(plane_bits)
     ngroups = -(-num_entries // SUBLANE_TILE)
 
     mode = config.lut_mode
-    if mode == "pair_lut":
+    if wide3:
+        pass
+    elif mode == "pair_lut":
         if not is16:
             raise NotImplementedError("pair_lut requires a 16-bit compute dtype")
         pc = ce | (co << num_bits)
@@ -391,6 +446,7 @@ def _lut_qgemm_kernel(
             vo = pltpu.bitcast(vo_bits, out_dtype)
             deq = _interleave_rows(ve, vo)
 
+    acc_dt = acc_ref.dtype
     if group_acc:
         # Decode path: apply group scales to the [bm, bn] partial products
         # instead of the [bk, bn] dequantized weights — group_size/bm times
@@ -404,11 +460,13 @@ def _lut_qgemm_kernel(
                 deq[gi * g:(gi + 1) * g],
                 preferred_element_type=jnp.float32,
             )
-            acc_ref[:] += part * s_ref[gi, :][None, :].astype(jnp.float32)
+            acc_ref[:] += (part * s_ref[gi, :][None, :].astype(jnp.float32)).astype(acc_dt)
     else:
         s_exp = _expand_scales(s_ref[:], group_size, bk)
         w = deq * s_exp
-        acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        acc_ref[:] += jnp.dot(
+            x_ref[:], w, preferred_element_type=jnp.float32
+        ).astype(acc_dt)
 
     @pl.when(k_index == nk - 1)
     def _store():
@@ -471,7 +529,7 @@ def _table_tile_pair(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_bits", "config", "interpret"),
+    static_argnames=("num_bits", "config", "interpret", "wide3"),
 )
 def _lut_qgemm_2d(
     x: jnp.ndarray,
@@ -483,11 +541,12 @@ def _lut_qgemm_2d(
     num_bits: int,
     config: KernelConfig,
     interpret: bool,
+    wide3: bool = False,
 ) -> jnp.ndarray:
     m, k = x.shape
     n = scales.shape[1]
     group_size = k // scales.shape[0]
-    plane_bits = bitutils.planes_for_bits(num_bits)
+    plane_bits = (3,) if wide3 else bitutils.planes_for_bits(num_bits)
     ct = x.dtype
     num_entries = 2 ** num_bits
     joint_entries = num_entries * num_entries
@@ -552,6 +611,7 @@ def _lut_qgemm_2d(
         # group-scaled accumulation wins when the MXU is latency-tolerant
         # (decode); weight-side scaling wins at prefill M (deep-K matmuls)
         group_acc=bm <= 64,
+        wide3=wide3,
     )
 
     weight_bytes = sum(p.size * 4 for p in planes)
@@ -574,7 +634,16 @@ def _lut_qgemm_2d(
             (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), ct),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        # accum policy: "high" keeps an f32 accumulator (reference High /
+        # default Mixed-equivalent); "low" accumulates in the compute dtype
+        # (reference AccumulationModeEnum::Low, config.hpp:111) — shipped
+        # as a measured ablation, see docs/ACCUM.md.
+        scratch_shapes=[
+            pltpu.VMEM(
+                (bm, bn),
+                jnp.float32 if config.accum == "high" else ct,
+            )
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -619,20 +688,26 @@ def lut_qgemm(
     if k % scales.shape[0] != 0:
         raise ValueError(f"K={k} not divisible by scale groups {scales.shape[0]}")
     group_size = k // scales.shape[0]
-    # shape invariants (role of the reference's fake-op checks, ops.py:4-55)
-    plane_bits_chk = bitutils.planes_for_bits(num_bits)
-    if len(planes) != len(plane_bits_chk):
-        raise ValueError(
-            f"{num_bits}-bit weights need {len(plane_bits_chk)} plane(s), "
-            f"got {len(planes)}"
-        )
-    for p, pb in zip(planes, plane_bits_chk):
-        want = (k * pb // bitutils.WORD_BITS, n)
-        if tuple(p.shape) != want:
+    # shape invariants (role of the reference's fake-op checks, ops.py:4-55);
+    # 3-bit accepts either the classic 2+1 plane split or the wide
+    # single-plane layout (packing.pack_w3_wide_np), detected by shape
+    from flute_tpu import packing as _packing
+
+    wide3 = _packing.is_w3_wide(planes, num_bits, k)
+    if not wide3:
+        plane_bits_chk = bitutils.planes_for_bits(num_bits)
+        if len(planes) != len(plane_bits_chk):
             raise ValueError(
-                f"packed plane shape {tuple(p.shape)} != expected {want} "
-                f"for K={k}, N={n}, plane bits={pb}"
+                f"{num_bits}-bit weights need {len(plane_bits_chk)} plane(s), "
+                f"got {len(planes)}"
             )
+        for p, pb in zip(planes, plane_bits_chk):
+            want = (k * pb // bitutils.WORD_BITS, n)
+            if tuple(p.shape) != want:
+                raise ValueError(
+                    f"packed plane shape {tuple(p.shape)} != expected {want} "
+                    f"for K={k}, N={n}, plane bits={pb}"
+                )
     if table is not None and table.shape[-1] not in (2**num_bits,):
         raise ValueError(
             f"table has {table.shape[-1]} entries, expected {2**num_bits}"
@@ -643,14 +718,9 @@ def lut_qgemm(
     else:
         config = fit_config(config, m, n, k, num_bits, group_size)
     if pair_values is not None and config.lut_mode != "pair_lut":
-        config = KernelConfig(
-            block_m=config.block_m,
-            block_n=config.block_n,
-            block_k=config.block_k,
-            lut_mode="pair_lut",
-            chunk=config.chunk,
-            split_k=config.split_k,
-        )
+        import dataclasses as _dc
+
+        config = _dc.replace(config, lut_mode="pair_lut")
     if interpret is None:
         interpret = _interpret_default()
 
@@ -668,6 +738,7 @@ def lut_qgemm(
         num_bits=num_bits,
         config=config,
         interpret=interpret,
+        wide3=wide3,
     )
     if m_pad != m:
         y = y[:m]

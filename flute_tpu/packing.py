@@ -54,6 +54,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from flute_tpu import bitutils
 
@@ -179,10 +180,113 @@ def pack(
     num_bits: int,
     *,
     chunk: int = DEFAULT_CHUNK,
+    wide: bool = False,
 ) -> list[jnp.ndarray]:
     """JAX-array-returning wrapper over :func:`pack_np` (packing is offline
     host work; numpy is the natural engine)."""
+    if wide:
+        return [jnp.asarray(p) for p in pack_w3_wide_np(np.asarray(codes), chunk=chunk)]
     return [jnp.asarray(p) for p in pack_np(np.asarray(codes), num_bits, chunk=chunk)]
+
+
+# ---------------------------------------------------------------------------
+# Wide 3-bit layout: single plane, 16 six-bit pair fields per 3-word group
+# ---------------------------------------------------------------------------
+#
+# The classic 3-bit layout splits codes into 2-bit + 1-bit planes (the
+# TPU answer to the reference's Q/Q2 dual-tensor scheme,
+# flute/utils.py:137-253) — but pays a double unpack + OR-stitch in the
+# kernel. The wide layout instead stores the 6-bit *pair field*
+# (ce | co << 3) directly: 16 fields occupy exactly three int32 words
+# (96 bits, zero waste), laid out *planar* per chunk — all first words of
+# the 3-word groups first (one 8-sublane slab per cp/16 triples), then all
+# second words, then all third — so extraction is a contiguous-sublane
+# shift+mask per field position (two positions straddle a word boundary
+# and take one extra shift+or). The kernel then needs only a single
+# chainless 8-entry gather per side, with the raw field as the even index
+# (hardware mod-8 wrap) and one shift for the odd. Measured ~25% faster
+# than the dual-plane layout on v5e (docs/KERNEL_NOTES.md round 2).
+
+
+def pack_w3_wide_np(codes: np.ndarray, *, chunk: int = DEFAULT_CHUNK) -> list[np.ndarray]:
+    """Pack ``[K, N]`` 3-bit codes into the wide single-plane layout
+    (int32 ``[3K/32, N]``)."""
+    k, n = codes.shape
+    if k % chunk != 0:
+        raise ValueError(f"K={k} must be a multiple of pack chunk {chunk}")
+    cp = chunk // 2
+    if chunk % 256 != 0:
+        # the kernel gathers 8-sublane slabs of triples: cp/16 must be a
+        # multiple of 8
+        raise ValueError(f"chunk={chunk} incompatible with wide 3-bit layout")
+    pairs = (codes[0::2] | (codes[1::2] << 3)).astype(np.uint64)  # [K/2, N]
+    nch = (k // 2) // cp
+    ntrip = cp // 16
+    pr = pairs.reshape(nch, 16, ntrip, n)  # [c, j, t, n]
+    grp = np.zeros((nch, 3, ntrip, n), np.uint64)
+    for j in range(16):
+        bit = 6 * j
+        w, off = bit // 32, bit % 32
+        grp[:, w] |= (pr[:, j] << off) & 0xFFFFFFFF
+        if off + 6 > 32:
+            grp[:, w + 1] |= pr[:, j] >> (32 - off)
+    out = grp.reshape(k * 3 // 32, n).astype(np.uint32)
+    return [out.view(np.int32)]
+
+
+def unpack_w3_wide_np(plane: np.ndarray, *, chunk: int = DEFAULT_CHUNK) -> np.ndarray:
+    """Inverse of :func:`pack_w3_wide_np` -> ``[K, N]`` int32 codes."""
+    rows, n = np.asarray(plane).shape
+    k = rows * 32 // 3
+    cp = chunk // 2
+    ntrip = cp // 16
+    w = np.asarray(plane).view(np.uint32).reshape(k // chunk, 3, ntrip, n).astype(np.uint64)
+    pf = np.empty((k // chunk, 16, ntrip, n), np.uint64)
+    for j in range(16):
+        bit = 6 * j
+        a, off = bit // 32, bit % 32
+        if off + 6 <= 32:
+            pf[:, j] = (w[:, a] >> off) & 0x3F
+        else:
+            pf[:, j] = ((w[:, a] >> off) | (w[:, a + 1] << (32 - off))) & 0x3F
+    pairs = pf.reshape(k // 2, n)
+    codes = np.empty((k, n), np.int64)
+    codes[0::2] = pairs & 7
+    codes[1::2] = pairs >> 3
+    return codes.astype(np.int32)
+
+
+def pack_w3_wide_jnp(
+    codes: jnp.ndarray, *, chunk: int = DEFAULT_CHUNK
+) -> list[jnp.ndarray]:
+    """On-device (jittable) wide 3-bit pack — same layout as
+    :func:`pack_w3_wide_np`."""
+    k, n = codes.shape
+    if k % chunk != 0 or chunk % 256 != 0:
+        raise ValueError(f"K={k}/chunk={chunk} invalid for wide 3-bit")
+    cp = chunk // 2
+    c = codes.astype(jnp.uint32)
+    pairs = c[0::2] | (c[1::2] << 3)  # [K/2, N]
+    nch = (k // 2) // cp
+    ntrip = cp // 16
+    pr = pairs.reshape(nch, 16, ntrip, n)
+    grp = [jnp.zeros((nch, ntrip, n), jnp.uint32) for _ in range(3)]
+    for j in range(16):
+        bit = 6 * j
+        w, off = bit // 32, bit % 32
+        grp[w] = grp[w] | ((pr[:, j] << off) & jnp.uint32(0xFFFFFFFF))
+        if off + 6 > 32:
+            grp[w + 1] = grp[w + 1] | (pr[:, j] >> (32 - off))
+    out = jnp.stack(grp, axis=1).reshape(k * 3 // bitutils.WORD_BITS, n)
+    return [lax.bitcast_convert_type(out, jnp.int32)]
+
+
+def is_w3_wide(planes, num_bits: int, k: int) -> bool:
+    """Detect the wide 3-bit layout from plane structure (single plane of
+    3K/32 rows vs the classic 2-plane (2K/32, K/32) split)."""
+    if num_bits != 3:
+        return False
+    return len(planes) == 1 and planes[0].shape[0] == k * 3 // bitutils.WORD_BITS
 
 
 def pack_jnp(
@@ -235,6 +339,9 @@ def unpack_np(
     use_native: bool = True,
 ) -> np.ndarray:
     """Recover ``[K, N]`` int32 codes from packed plane arrays (host-side)."""
+    if num_bits == 3 and len(planes) == 1:
+        # wide single-plane 3-bit layout (classic 3-bit always has 2 planes)
+        return unpack_w3_wide_np(np.asarray(planes[0]), chunk=chunk)
     fmt = PackFormat(num_bits=num_bits, chunk=chunk)
     if use_native:
         from flute_tpu import native
@@ -280,8 +387,11 @@ def reconstruct(
     flute/utils.py:347-376)."""
     from flute_tpu.ops import lut_gemm
 
-    pb0 = bitutils.planes_for_bits(num_bits)[0]
-    k = planes[0].shape[0] * bitutils.WORD_BITS // pb0
+    if num_bits == 3 and len(planes) == 1:
+        k = planes[0].shape[0] * bitutils.WORD_BITS // 3  # wide layout
+    else:
+        pb0 = bitutils.planes_for_bits(num_bits)[0]
+        k = planes[0].shape[0] * bitutils.WORD_BITS // pb0
     eye = jnp.eye(k, dtype=scales.dtype)
     if use_kernel:
         return lut_gemm.lut_qgemm(
@@ -302,9 +412,12 @@ def unpack_via_kernel(
     Exact because 2^b <= 256 integers are exactly representable in bf16/f32."""
     from flute_tpu.ops import lut_gemm
 
+    # bf16 compute for the wide 3-bit layout (its payload path is 16-bit);
+    # codes <= 255 are exactly representable either way
+    ct = jnp.bfloat16 if is_w3_wide(planes, num_bits, k) else jnp.float32
     table = jnp.arange(2 ** num_bits, dtype=jnp.float32)
     # unit scales at group_size=64; any group size works with unit scales
-    scales = jnp.ones((k // 64, n), jnp.float32)
-    eye = jnp.eye(k, dtype=jnp.float32)
+    scales = jnp.ones((k // 64, n), ct)
+    eye = jnp.eye(k, dtype=ct)
     deq = lut_gemm.lut_qgemm(eye, list(planes), scales, table, num_bits=num_bits)
-    return jnp.round(deq).astype(jnp.int32)
+    return jnp.round(deq.astype(jnp.float32)).astype(jnp.int32)

@@ -80,6 +80,42 @@ def _device_kind() -> str:
     return jax.devices()[0].device_kind
 
 
+def _host_oracle(
+    x: np.ndarray, codes: np.ndarray, scales: np.ndarray, table: np.ndarray,
+    dtype,
+) -> np.ndarray:
+    """Host-side f32 ground truth with operands rounded to ``dtype`` first —
+    the tuner's verification oracle. No device upload of the (large) codes
+    array is needed because the tuner generated them on the host."""
+    import ml_dtypes
+
+    np_dt = {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16,
+             "float32": np.float32}[jnp.dtype(dtype).name]
+    t = table.astype(np_dt).astype(np.float32)
+    g = codes.shape[0] // scales.shape[0]
+    s = np.repeat(scales.astype(np_dt).astype(np.float32), g, axis=0)
+    deq = (t[codes].astype(np_dt).astype(np.float32) * s).astype(np_dt)
+    xr = x.astype(np_dt).astype(np.float32)
+    return xr @ deq.astype(np.float32)
+
+
+def pick_verified(
+    timed: Sequence[tuple[float, KernelConfig]],
+    verify_fn,
+) -> tuple[Optional[KernelConfig], float]:
+    """Walk candidates fastest-first and return the first that passes
+    verification — the reference re-verifies its chosen template inside every
+    tune_and_pack (flute/tune.py:294-392); a mis-compiling candidate must
+    never be silently selected."""
+    for t, cfg in sorted(timed, key=lambda p: p[0]):
+        try:
+            if verify_fn(cfg):
+                return cfg, t
+        except Exception:
+            continue
+    return None, float("inf")
+
+
 def tune_config(
     m: int,
     n: int,
@@ -91,9 +127,11 @@ def tune_config(
     max_candidates: int = 24,
     iters: int = 30,
     use_memo: bool = True,
+    verify: bool = True,
 ) -> KernelConfig:
     """Benchmark candidate configs for (M, N, K, b, g, dtype) on the current
-    device and return the fastest (reference _tune, tune.py:205-257)."""
+    device, verify the winner against a host oracle, and return the fastest
+    *verified* config (reference _tune + check, tune.py:205-257,294-392)."""
     kind = _device_kind()
     key = _memo_key(m, n, k, num_bits, group_size, jnp.dtype(dtype).name, kind)
     if use_memo and key in _MEMO:
@@ -107,9 +145,12 @@ def tune_config(
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 2**num_bits, size=(k, n), dtype=np.int32)
     planes = [jax.device_put(p) for p in packing.pack(codes, num_bits)]
-    scales = jnp.asarray(rng.uniform(0.5, 1.5, (k // group_size, n)), dtype)
-    table = jnp.asarray(np.sort(rng.standard_normal(2**num_bits)), jnp.float32)
-    x = jnp.asarray(rng.standard_normal((m, k)), dtype)
+    scales_np = rng.uniform(0.5, 1.5, (k // group_size, n)).astype(np.float32)
+    table_np = np.sort(rng.standard_normal(2**num_bits)).astype(np.float32)
+    x_np = rng.standard_normal((m, k)).astype(np.float32)
+    scales = jnp.asarray(scales_np, dtype)
+    table = jnp.asarray(table_np, jnp.float32)
+    x = jnp.asarray(x_np, dtype)
 
     candidates = list(get_candidate_configs(m, n, k, num_bits, group_size))
     # Prioritize around the heuristic default, cap the sweep.
@@ -122,7 +163,8 @@ def tune_config(
     )
     candidates = candidates[:max_candidates]
 
-    best, best_t = default, float("inf")
+    fns = {}
+    timed = []
     for cfg in candidates:
         if cfg.split_k != 1:
             continue  # split-K path handled by XLA partials; not yet swept
@@ -136,8 +178,30 @@ def tune_config(
             t = bench_op(f, x, iters=iters)
         except Exception:
             continue  # unsupported on this chip — skip, like tune.py:160-167
-        if t < best_t:
-            best, best_t = cfg, t
+        fns[cfg.key()] = f
+        timed.append((t, cfg))
+
+    if not timed:
+        _MEMO[key] = default
+        return default
+
+    if verify:
+        want = _host_oracle(x_np, codes, scales_np, table_np, dtype)
+        denom = max(float(np.abs(want).max()), 1e-6)
+        thr = 2.0 * RTOL[jnp.dtype(dtype).name]
+
+        def _ok(cfg):
+            got = np.asarray(fns[cfg.key()](x), np.float32)
+            return float(np.abs(got - want).max()) / denom <= thr
+
+        best, _ = pick_verified(timed, _ok)
+        if best is None:
+            raise AssertionError(
+                f"no candidate config passed verification for "
+                f"M={m} N={n} K={k} b={num_bits} g={group_size}"
+            )
+    else:
+        best = min(timed, key=lambda p: p[0])[1]
     _MEMO[key] = best
     return best
 

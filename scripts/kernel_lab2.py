@@ -341,13 +341,6 @@ def main():
         w = oracle(tbl)
         return np.abs(np.asarray(got, np.float32) - w).max() / np.abs(w).max()
 
-    if "vmembw" in variants:
-        for rows, nops in ((1024, 1), (1024, 2), (1024, 4), (1024, 8)):
-            t = run_vmembw(rows, 2048, nops, 2000)
-            vr = rows * 2048 // 1024
-            print(f"vmembw rows={rows} nops={nops*2}: {t*1e6:8.2f} us "
-                  f"({t*1e9/(nops*2)/vr:6.2f} ns/vreg/op)", flush=True)
-
     if "prod" in variants:
         import flute_tpu
         f = jax.jit(lambda x_: lut_gemm.lut_qgemm(
@@ -393,6 +386,218 @@ def main():
         t = bench_op(f, x, iters=args.iters)
         report("int4", t, nbytes)
         print(f"   rel={rel:.2e}")
+
+    if "slabstream" in variants:
+        f = jax.jit(lambda x_: run_slabstream(x_, planes, scales, table, bm, bn, bk, g))
+        rel = check(f(x), table)
+        t = bench_op(f, x, iters=args.iters)
+        report("slabstream", t, nbytes)
+        print(f"   rel={rel:.2e}")
+
+    if "w3wide" in variants:
+        codes3 = rng.integers(0, 8, size=(k, n), dtype=np.int32)
+        p3 = [jax.device_put(pp) for pp in pack_w3wide_np(codes3)]
+        t3 = nf.nf_values(3)
+        f = jax.jit(lambda x_: run_w3wide(x_, p3, scales, t3, bm, bn, bk, g))
+        got = np.asarray(f(x), np.float32)
+        w3 = np.asarray(lut_gemm.lut_qgemm_reference(
+            x, jnp.asarray(codes3.astype(np.int8)), scales, t3), np.float32)
+        rel = np.abs(got - w3).max() / np.abs(w3).max()
+        t = bench_op(f, x, iters=args.iters)
+        nb3 = k * n * 3 // 8 + (k // g) * n * 2 + x.size * 2 + m * n * 2
+        report("w3wide", t, nb3)
+        print(f"   rel={rel:.2e}")
+
+    if "vmembw" in variants:
+        ts = {}
+        for nops in (2, 8):
+            ts[nops] = run_vmembw(256, 2048, nops, 4000)
+        vr = 256 * 2048 // 1024
+        per_op = (ts[8] - ts[2]) / (2 * (8 - 2)) / vr
+        print(f"vmembw slope: {per_op*1e9:.3f} ns/vreg/op "
+              f"({per_op*940e6*1e0*1:.2f} cyc/vreg) "
+              f"[t2={ts[2]*1e6:.2f}us t8={ts[8]*1e6:.2f}us]", flush=True)
+
+
+
+
+    main()
+
+
+
+# --------------------------------------------------------------------------
+# slabstream: per-slab fused extract+gather+chain+merge; no full-tensor
+# intermediates (tests the VMEM-traffic hypothesis: if elementwise ops cost
+# a full VMEM pass each, keeping the chain in-register per [8, bn] slab
+# should approach the DMA floor)
+# --------------------------------------------------------------------------
+
+
+def slabstream_kernel(x_ref, w_ref, s_ref, t_ref, o_ref, acc_ref, *, bk, g,
+                      chunk, bn):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[:]
+    tile = t_ref[:]
+    ops = [jnp.broadcast_to(tile[:, c:c + 1], (8, bn)) for c in range(4)]
+    kc = (chunk // 2) // 4  # word rows per chunk
+    nslab = kc // 8
+
+    # payload slabs in pf-row order: chunk-major, field-major, then word row
+    payload = [None] * (bk // 2 // 8)
+    for c in range(bk // chunk):
+        for s in range(nslab):
+            w8 = words[(c * kc + s * 8):(c * kc + s * 8 + 8)]
+            for i in range(4):
+                pf8 = (w8 >> (8 * i)) & 0xFF
+                o8 = pf8 >> 4
+                ge = jnp.where((pf8 & 8) != 0,
+                               _gather_sublane(ops[1], pf8),
+                               _gather_sublane(ops[0], pf8))
+                go = jnp.where((pf8 & 128) != 0,
+                               _gather_sublane(ops[3], o8),
+                               _gather_sublane(ops[2], o8))
+                # pf rows for (c, i, s): c*(chunk//2) + i*kc + s*8
+                payload[(c * (chunk // 2) + i * kc) // 8 + s] = ge | go
+    deq = pltpu.bitcast(jnp.concatenate(payload, axis=0), jnp.bfloat16)
+
+    for gi in range(bk // g):
+        part = jnp.dot(x_ref[:, gi * g:(gi + 1) * g], deq[gi * g:(gi + 1) * g],
+                       preferred_element_type=jnp.float32)
+        acc_ref[:] += part * s_ref[gi, :][None, :].astype(jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.bfloat16)
+
+
+def run_slabstream(x, planes, scales, table, bm, bn, bk, g):
+    m, k = x.shape
+    n = scales.shape[1]
+    tile = _table_tile_scalar(table, jnp.bfloat16, 16)
+    grid = (m // bm, n // bn, k // bk)
+    return pl.pallas_call(
+        functools.partial(slabstream_kernel, bk=bk, g=g, chunk=256, bn=bn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // g, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tile.shape, lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+    )(x, planes[0], scales, tile)
+
+
+
+# --------------------------------------------------------------------------
+# w3wide: single-plane 3-bit layout — 16 six-bit pair fields per 3-word
+# group, planar (w0 slab | w1 slab | w2 slab) per chunk so extraction is
+# contiguous-sublane; chainless 8-entry gathers, odd side one shift.
+# Replaces the 2+1 dual-plane W3 (double unpack + stitch, 284 us r1).
+# --------------------------------------------------------------------------
+
+
+def pack_w3wide_np(codes, chunk=256):
+    k, n = codes.shape
+    pairs = (codes[0::2] | (codes[1::2] << 3)).astype(np.uint64)  # [K/2, N]
+    p = k // 2
+    cp = chunk // 2  # 128 pairs per chunk
+    assert cp % 16 == 0 and p % cp == 0
+    out = np.zeros((k * 3 // 32, n), np.uint32)
+    pr = pairs.reshape(p // cp, 16, cp // 16, n)  # [c, j, t, n]
+    ntrip = cp // 16  # triples per chunk (8)
+    kc = 3 * ntrip  # words per chunk (24)
+    for c in range(p // cp):
+        grp = np.zeros((3, ntrip, n), np.uint64)
+        for j in range(16):
+            bit = 6 * j
+            w, off = bit // 32, bit % 32
+            grp[w] |= (pr[c, j] << off) & 0xFFFFFFFF
+            if off + 6 > 32:
+                grp[w + 1] |= pr[c, j] >> (32 - off)
+        out[c * kc:(c + 1) * kc] = grp.reshape(kc, n).astype(np.uint32)
+    return [out.view(np.int32)]
+
+
+def w3wide_kernel(x_ref, w_ref, s_ref, t_ref, o_ref, acc_ref, *, bk, g,
+                  chunk, bn):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[:]
+    tile = t_ref[:]
+    op_e = jnp.broadcast_to(tile[:, 0:1], (8, bn))
+    op_o = jnp.broadcast_to(tile[:, 1:2], (8, bn))  # pre-shifted << 16
+    cp = chunk // 2
+    ntrip = cp // 16
+    kc = 3 * ntrip
+    out = []
+    for c in range(bk // chunk):
+        w = words[c * kc:(c + 1) * kc]
+        ws = (w[0:ntrip], w[ntrip:2 * ntrip], w[2 * ntrip:3 * ntrip])
+        for j in range(16):
+            bit = 6 * j
+            a, off = bit // 32, bit % 32
+            if off + 6 <= 32:
+                pf = (ws[a] >> off) & 0x3F
+            else:
+                lo = (ws[a] >> off) & ((1 << (32 - off)) - 1)
+                pf = (lo | (ws[a + 1] << (32 - off))) & 0x3F
+            # even idx = pf (hw wrap -> & 7); odd idx = pf >> 3
+            ge = _gather_sublane(op_e, pf)
+            go = _gather_sublane(op_o, pf >> 3)
+            out.append(ge | go)
+    deq = pltpu.bitcast(jnp.concatenate(out, axis=0), jnp.bfloat16)
+
+    for gi in range(bk // g):
+        part = jnp.dot(x_ref[:, gi * g:(gi + 1) * g], deq[gi * g:(gi + 1) * g],
+                       preferred_element_type=jnp.float32)
+        acc_ref[:] += part * s_ref[gi, :][None, :].astype(jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.bfloat16)
+
+
+def run_w3wide(x, planes, scales, table, bm, bn, bk, g):
+    from flute_tpu.ops.lut_gemm import _bits16 as b16
+
+    m, k = x.shape
+    n = scales.shape[1]
+    bits8 = b16(table, jnp.bfloat16)
+    tile = jnp.zeros((8, 128), jnp.int32)
+    tile = tile.at[:, 0].set(bits8)
+    tile = tile.at[:, 1].set(bits8 << 16)
+    grid = (m // bm, n // bn, k // bk)
+    return pl.pallas_call(
+        functools.partial(w3wide_kernel, bk=bk, g=g, chunk=256, bn=bn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk * 3 // 32, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // g, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tile.shape, lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+    )(x, planes[0], scales, tile)
 
 
 if __name__ == "__main__":

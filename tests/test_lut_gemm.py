@@ -20,6 +20,7 @@ from flute_tpu.quantize import nf
 
 # Reference thresholds (tests/kernel.py:12-13); f32 is ours (TPU-native).
 THRESHOLDS = {
+    jnp.dtype(jnp.float16): 2.0e-3,
     jnp.dtype(jnp.bfloat16): 1.1e-2,
     jnp.dtype(jnp.float32): 1e-5,
 }
@@ -53,7 +54,7 @@ def rel_err(y, y_ref):
 
 
 @pytest.mark.parametrize("bits", [2, 3, 4])
-@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16, jnp.float32])
 def test_identity_bit_exact(bits, dtype):
     """x = I must reproduce the dequantized weight bit-exactly."""
     n, k, g = 256, 512, 64
@@ -71,6 +72,26 @@ def test_identity_bit_exact(bits, dtype):
 @pytest.mark.parametrize("m", [1, 3, 16, 64])
 def test_random_threshold(bits, group_size, m):
     dtype = jnp.bfloat16
+    n, k = 256, 512
+    x, codes, planes, scales, table = make_case(
+        m, n, k, bits, group_size, dtype, seed=bits * 100 + group_size + m
+    )
+    y = lut_qgemm_checked(x, planes, scales, table, bits)
+    y_ref = lut_gemm.lut_qgemm_reference(x, codes, scales, table)
+    assert rel_err(y, y_ref) < THRESHOLDS[jnp.dtype(dtype)]
+
+
+def lut_qgemm_checked(x, planes, scales, table, bits):
+    return lut_gemm.lut_qgemm(x, planes, scales, table, num_bits=bits)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4])
+@pytest.mark.parametrize("m", [1, 16])
+def test_random_threshold_fp16(bits, m):
+    """float16 path at the reference's tighter 2e-3 threshold
+    (reference treats fp16 as the primary dtype, README.md:233)."""
+    dtype = jnp.float16
+    group_size = 64
     n, k = 256, 512
     x, codes, planes, scales, table = make_case(
         m, n, k, bits, group_size, dtype, seed=bits * 100 + group_size + m
@@ -138,3 +159,27 @@ def test_unpack_via_kernel_recovers_codes():
     _, codes, planes, scales, table = make_case(1, n, k, bits, g, jnp.float32, seed=11)
     rec = packing.unpack_via_kernel(planes, bits, n=n, k=k)
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(codes))
+
+
+def test_accum_modes():
+    """Accumulation-policy ablation (reference AccumulationModeEnum
+    {Low, High}, config.hpp:111): low-precision accumulation stays within
+    the loose threshold but is measurably worse than f32; the config key
+    round-trips the mode."""
+    bits, g, m, n, k = 4, 64, 8, 256, 1024
+    dtype = jnp.bfloat16
+    x, codes, planes, scales, table = make_case(m, n, k, bits, g, dtype, seed=9)
+    y_ref = lut_gemm.lut_qgemm_reference(x, codes, scales, table)
+
+    cfg_hi = KernelConfig(block_m=16, block_n=128, block_k=256)
+    cfg_lo = KernelConfig(block_m=16, block_n=128, block_k=256, accum="low")
+    assert KernelConfig.from_key(cfg_lo.key()) == cfg_lo
+    assert KernelConfig.from_key(cfg_hi.key()) == cfg_hi
+    assert "_a" not in cfg_hi.key()  # legacy keys stay valid
+
+    y_hi = lut_gemm.lut_qgemm(x, planes, scales, table, num_bits=bits, config=cfg_hi)
+    y_lo = lut_gemm.lut_qgemm(x, planes, scales, table, num_bits=bits, config=cfg_lo)
+    e_hi, e_lo = rel_err(y_hi, y_ref), rel_err(y_lo, y_ref)
+    assert e_hi < THRESHOLDS[jnp.dtype(dtype)]
+    assert e_lo < 5e-2  # degraded but bounded
+    assert e_lo >= e_hi  # low mode never beats f32 accumulation

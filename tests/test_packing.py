@@ -63,3 +63,53 @@ def test_kernel_block_independence():
         np.testing.assert_array_equal(
             rec, codes[c * packing.DEFAULT_CHUNK:(c + 1) * packing.DEFAULT_CHUNK]
         )
+
+
+def test_w3_wide_roundtrip_and_parity():
+    """Wide 3-bit layout: np/jnp packers agree, unpack_np dispatches on the
+    single-plane shape, and the kernel is identity bit-exact."""
+    import jax.numpy as jnp
+
+    from flute_tpu.ops import lut_gemm
+
+    rng = np.random.default_rng(3)
+    k, n, g = 512, 256, 64
+    codes = rng.integers(0, 8, (k, n), dtype=np.int32)
+    pnp = packing.pack_w3_wide_np(codes)
+    pjnp = packing.pack_w3_wide_jnp(jnp.asarray(codes))
+    np.testing.assert_array_equal(pnp[0], np.asarray(pjnp[0]))
+    np.testing.assert_array_equal(packing.unpack_np(pnp, 3), codes)
+    assert packing.is_w3_wide(pnp, 3, k)
+
+    scales = jnp.asarray(rng.uniform(0.5, 1.5, (k // g, n)), jnp.bfloat16)
+    table = jnp.asarray(np.sort(rng.standard_normal(8)), jnp.float32)
+    y = lut_gemm.lut_qgemm(
+        jnp.eye(k, dtype=jnp.bfloat16), [jnp.asarray(p) for p in pnp],
+        scales, table, num_bits=3,
+    )
+    want = lut_gemm.dequantize_codes(jnp.asarray(codes), scales, table, jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(y, np.float32), np.asarray(want, np.float32)
+    )
+
+
+def test_w3_wide_quantize_linear_default():
+    """3-bit quantize_linear defaults to the wide layout and matches the
+    classic layout's dequantization exactly."""
+    import jax.numpy as jnp
+
+    from flute_tpu import nn as fnn
+
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.standard_normal((256, 512)), jnp.float32)
+    lw = fnn.quantize_linear(w, num_bits=3, group_size=64)
+    lc = fnn.quantize_linear(w, num_bits=3, group_size=64, wide=False)
+    assert len(lw.planes) == 1 and len(lc.planes) == 2
+    np.testing.assert_array_equal(
+        np.asarray(lw.dequantize(), np.float32),
+        np.asarray(lc.dequantize(), np.float32),
+    )
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(lw(x), np.float32), np.asarray(lc(x), np.float32)
+    )

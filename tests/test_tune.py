@@ -53,3 +53,51 @@ def test_registry_save_load(tmp_path):
     # loaded entry short-circuits tuning
     cfg = tune.tune_config(8, 1024, 512, 4, 64)
     assert isinstance(cfg, KernelConfig)
+
+
+def test_pick_verified_rejects_failing_candidate():
+    """A mis-compiling fastest candidate must be skipped in favor of the
+    next-fastest verified one (reference tune.py:294-392 re-verifies every
+    chosen template)."""
+    from flute_tpu.tune import pick_verified
+
+    a = KernelConfig(block_n=256, block_k=256)
+    b = KernelConfig(block_n=512, block_k=512)
+    c = KernelConfig(block_n=1024, block_k=1024)
+    timed = [(3.0, c), (1.0, a), (2.0, b)]
+
+    best, t = pick_verified(timed, lambda cfg: cfg is not a)
+    assert best is b and t == 2.0
+
+    best, t = pick_verified(timed, lambda cfg: cfg is a)
+    assert best is a and t == 1.0
+
+    def raises(cfg):
+        raise RuntimeError("boom")
+
+    best, t = pick_verified(timed, raises)
+    assert best is None
+
+
+def test_host_oracle_matches_reference():
+    from flute_tpu.ops import lut_gemm
+    from flute_tpu.tune import _host_oracle
+
+    rng = np.random.default_rng(0)
+    k, n, g, bits = 256, 128, 64, 4
+    codes = rng.integers(0, 16, (k, n), dtype=np.int32)
+    scales = rng.uniform(0.5, 1.5, (k // g, n)).astype(np.float32)
+    table = np.sort(rng.standard_normal(16)).astype(np.float32)
+    x = rng.standard_normal((8, k)).astype(np.float32)
+    want = _host_oracle(x, codes, scales, table, jnp.bfloat16)
+    ref = np.asarray(
+        lut_gemm.lut_qgemm_reference(
+            jnp.asarray(x, jnp.bfloat16),
+            jnp.asarray(codes),
+            jnp.asarray(scales, jnp.bfloat16),
+            jnp.asarray(table),
+        ),
+        np.float32,
+    )
+    denom = np.abs(ref).max()
+    assert np.abs(want - ref).max() / denom < 1.1e-2
