@@ -18,6 +18,26 @@ import sys
 
 
 def _cmd_quantize(args):
+    if args.streaming:
+        from flute_tpu.integrations.huggingface import (
+            quantize_hf_model_streaming,
+        )
+
+        if args.fake:
+            raise SystemExit("--fake is incompatible with --streaming")
+        stats = quantize_hf_model_streaming(
+            args.model_dir,
+            args.output_dir,
+            num_bits=args.num_bits,
+            group_size=args.group_size,
+            fuse=args.fuse,
+            example_batch_size=args.example_batch_size,
+        )
+        print(
+            f"quantized (streaming) {args.model_dir} -> {args.output_dir} "
+            f"(peak buffered projections: {stats['buffered_high_water']})"
+        )
+        return
     from flute_tpu.integrations.huggingface import quantize_hf_model
 
     quantize_hf_model(
@@ -29,6 +49,39 @@ def _cmd_quantize(args):
         example_batch_size=args.example_batch_size,
     )
     print(f"quantized {args.model_dir} -> {args.output_dir}")
+
+
+def _cmd_import_flute(args):
+    """Convert a reference-FLUTE (CUDA) checkpoint into flute-tpu format."""
+    from flute_tpu.integrations.flute_format import load_reference_checkpoint
+
+    out = load_reference_checkpoint(
+        args.model_dir,
+        tile_p=args.tile_p,
+        template_id=args.template_id,
+    )
+    n_layers = sum(1 for v in out.values() if isinstance(v, dict) and "planes" in v)
+    print(f"converted {n_layers} quantized layers from {args.model_dir}")
+    if args.output_dir:
+        import numpy as np
+
+        from flute_tpu.integrations.checkpoint import StreamingWriter
+
+        w = StreamingWriter(args.output_dir)
+        bits = group = None
+        for name, v in out.items():
+            tree_path = name.replace(".", "/")
+            if isinstance(v, dict) and "planes" in v:
+                bits, group = v["num_bits"], v["group_size"]
+                w.add_quantized(
+                    tree_path, v["planes"], v["scales"], v["table"],
+                    num_bits=bits, group_size=group,
+                )
+            else:
+                w.add_array(tree_path, np.asarray(v))
+        w.finish(model_config={"source": args.model_dir, "imported": True},
+                 num_bits=bits, group_size=group)
+        print(f"wrote {args.output_dir}")
 
 
 def _cmd_generate(args):
@@ -167,6 +220,11 @@ def main(argv=None):
     q.add_argument("--group-size", type=int, default=64)
     q.add_argument("--fake", action="store_true")
     q.add_argument("--example-batch-size", type=int, default=8)
+    q.add_argument("--streaming", action="store_true",
+                   help="layer-streaming quantization with bounded host "
+                        "memory (required for 70B+ checkpoints)")
+    q.add_argument("--fuse", action="store_true",
+                   help="fuse qkv / gate_up projections (streaming only)")
     q.set_defaults(fn=_cmd_quantize)
 
     g = sub.add_parser("generate", help="generate from a quantized checkpoint")
@@ -198,6 +256,16 @@ def main(argv=None):
     s.add_argument("--max-len", type=int, default=2048)
     s.add_argument("--retune", action="store_true")
     s.set_defaults(fn=_cmd_serve)
+
+    imp = sub.add_parser(
+        "import-flute",
+        help="convert a reference-FLUTE (CUDA) checkpoint to flute-tpu format",
+    )
+    imp.add_argument("--model-dir", required=True)
+    imp.add_argument("--output-dir", default=None)
+    imp.add_argument("--tile-p", type=int, default=None, choices=[32, 64])
+    imp.add_argument("--template-id", type=int, default=None)
+    imp.set_defaults(fn=_cmd_import_flute)
 
     b = sub.add_parser("bench-kernel", help="run the kernel benchmark")
     b.set_defaults(fn=_cmd_bench_kernel)

@@ -210,6 +210,146 @@ def quantize_hf_model(
             shutil.copy(src, os.path.join(output_dir, fname))
 
 
+def quantize_hf_model_streaming(
+    model_dir: str,
+    output_dir: str,
+    num_bits: int = 4,
+    group_size: int = 64,
+    *,
+    fuse: bool = False,
+    example_batch_size: int = 8,
+    quantize_lm_head: bool = False,
+) -> dict:
+    """Layer-streaming quantization with bounded host memory.
+
+    Unlike :func:`quantize_hf_model` (which materializes the whole dense
+    pytree — ~140 GB host RAM for 70B bf16), this walks the safetensors
+    shards tensor-by-tensor, NF-quantizes + packs each projection on the
+    host (numpy + the native packer), flushes it to the output checkpoint
+    immediately, and frees it. Peak residency is one fused projection group
+    (the reference's whole-model ``device_map="cpu"`` load, base.py:333-340,
+    has no streaming equivalent — this is the 70B/405B enablement path).
+
+    Returns ``{"buffered_high_water": int}`` stats (max projection tensors
+    simultaneously buffered — bounded by one decoder layer).
+    """
+    import ml_dtypes
+
+    from flute_tpu import packing as packing_mod
+    from flute_tpu.ops.kernel_config import get_kernel_config
+    from flute_tpu.quantize import nf
+
+    mtype = model_type_of(model_dir)
+    key_map = _GEMMA2_LAYER_KEYS if mtype == "gemma2" else _LLAMA_LAYER_KEYS
+    writer = ckpt_io.StreamingWriter(output_dir)
+    tie = False
+    try:
+        with open(os.path.join(model_dir, "config.json")) as f:
+            tie = bool(json.load(f).get("tie_word_embeddings", False))
+    except FileNotFoundError:
+        pass
+
+    def _np_f32(arr: np.ndarray) -> np.ndarray:
+        if arr.dtype == np.uint16:
+            arr = arr.view(ml_dtypes.bfloat16)
+        return np.asarray(arr, np.float32)
+
+    def quant_store(tree_path: str, w_nk: np.ndarray) -> None:
+        """NF-quantize an [out, in] dense weight and flush it."""
+        n, k = w_nk.shape
+        codes, scales, table = nf.nf_quantize_np(w_nk, num_bits, group_size)
+        planes = packing_mod.pack_np(np.ascontiguousarray(codes.T), num_bits)
+        cfg = get_kernel_config(example_batch_size, n, k, num_bits, group_size)
+        writer.add_quantized(
+            tree_path,
+            planes,
+            np.ascontiguousarray(scales.T).astype(ml_dtypes.bfloat16),
+            table.astype(np.float32),
+            num_bits=num_bits,
+            group_size=group_size,
+            config_key=cfg.key(),
+        )
+
+    pending: dict[int, dict[str, np.ndarray]] = {}
+    high_water = 0
+    fuse_groups = (
+        {"qkv": ("q", "k", "v"), "gate_up": ("gate", "up")} if fuse else {}
+    )
+    fused_members = {m for grp in fuse_groups.values() for m in grp}
+
+    def flush_ready(li: int) -> None:
+        buf = pending.get(li)
+        if not buf:
+            return
+        for fused_key, members in fuse_groups.items():
+            if all(m in buf for m in members):
+                w = np.concatenate([buf.pop(m) for m in members], axis=0)
+                quant_store(f"layers/{li}/{fused_key}", w)
+        for key in list(buf):
+            if key not in fused_members:
+                quant_store(f"layers/{li}/{key}", buf.pop(key))
+        if not buf:
+            del pending[li]
+
+    saw_lm_head = False
+    for name, tensor in _open_safetensor_shards(model_dir):
+        if name == "model.embed_tokens.weight":
+            writer.add_array("embed", _np_f32(tensor).astype(ml_dtypes.bfloat16))
+        elif name == "model.norm.weight":
+            writer.add_array(
+                "final_norm", _np_f32(tensor).astype(ml_dtypes.bfloat16)
+            )
+        elif name == "lm_head.weight" and mtype != "gemma2":
+            saw_lm_head = True
+            if quantize_lm_head:
+                quant_store("lm_head", _np_f32(tensor))
+            else:
+                writer.add_array(
+                    "lm_head",
+                    np.ascontiguousarray(_np_f32(tensor).T).astype(
+                        ml_dtypes.bfloat16
+                    ),
+                )
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            li_s, sub = rest.split(".", 1)
+            if sub not in key_map:
+                continue
+            key, is_linear = key_map[sub]
+            li = int(li_s)
+            if not is_linear:
+                writer.add_array(
+                    f"layers/{li}/{key}",
+                    _np_f32(tensor).astype(ml_dtypes.bfloat16),
+                )
+                continue
+            pending.setdefault(li, {})[key] = _np_f32(tensor)
+            high_water = max(
+                high_water, sum(len(b) for b in pending.values())
+            )
+            flush_ready(li)
+        del tensor
+    for li in list(pending):
+        flush_ready(li)
+    if pending:
+        raise ValueError(f"incomplete layers in checkpoint: {sorted(pending)}")
+    if mtype != "gemma2" and (tie or not saw_lm_head):
+        writer.add_none("lm_head")
+
+    writer.finish(
+        model_config={"model_type": mtype, "source": model_dir},
+        num_bits=num_bits,
+        group_size=group_size,
+    )
+    for fname in ("config.json", "tokenizer.json", "tokenizer_config.json"):
+        src = os.path.join(model_dir, fname)
+        if os.path.exists(src):
+            import shutil
+
+            shutil.copy(src, os.path.join(output_dir, fname))
+    return {"buffered_high_water": high_water}
+
+
 def model_fns(model_type: str):
     """(forward, init_cache) pair for a model_type string."""
     if model_type == "gemma2":

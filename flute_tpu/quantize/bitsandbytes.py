@@ -109,7 +109,16 @@ def convert_bnb_linear4bit(
     absmax = decode_absmax(state).reshape(n, k // state.blocksize)
     table = np.asarray(state.code, np.float32)
     if not np.all(np.diff(table) > 0):
-        raise ValueError("bnb code table must be ascending (NF4 is; FP4 is not)")
+        # Non-ascending tables (FP4's sign-magnitude layout) are normalized
+        # by sorting the table and permuting the codes — value-identical,
+        # and keeps downstream searchsorted-based tooling valid. (The
+        # reference converts any Linear4bit; the kernel itself never
+        # required ascending tables — reference bitsandbytes.py:10-91.)
+        order = np.argsort(table, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        table = table[order]
+        codes = inv[codes]
 
     if verify:
         want = dequantize_bnb(state, qweight)
@@ -126,3 +135,106 @@ def convert_bnb_linear4bit(
         bias=None if bias is None else jnp.asarray(bias),
         **kw,
     )
+
+
+# ---------------------------------------------------------------------------
+# File-level loading of HF-serialized bnb checkpoints
+# ---------------------------------------------------------------------------
+#
+# transformers serializes a bnb-4bit model as, per quantized linear:
+#   <prefix>.weight                         uint8 packed nibbles
+#   <prefix>.weight.absmax                  uint8 (nested) / float
+#   <prefix>.weight.quant_map               float [16] code table
+#   <prefix>.weight.nested_absmax           float      (nested only)
+#   <prefix>.weight.nested_quant_map        float [256](nested only)
+#   <prefix>.weight.quant_state.bitsandbytes__{nf4|fp4}
+#       uint8 tensor holding a JSON dict: {"blocksize", "shape", "dtype",
+#       "quant_type", "nested_blocksize", "nested_offset", ...}
+# (bnb QuantState.as_dict(packed=True) — the reference consumes this via
+# the live bnb runtime; here it is decoded directly from the tensors.)
+
+_QS_SUFFIXES = (
+    ".weight.quant_state.bitsandbytes__nf4",
+    ".weight.quant_state.bitsandbytes__fp4",
+)
+
+
+def quant_state_from_tensors(tensors: dict, prefix: str) -> BNBQuantState:
+    """Build a :class:`BNBQuantState` for ``<prefix>.weight`` from a flat
+    {name: np.ndarray} dict of an HF bnb checkpoint."""
+    import json
+
+    meta_raw = None
+    for suf in _QS_SUFFIXES:
+        if prefix + suf in tensors:
+            meta_raw = tensors[prefix + suf]
+            break
+    if meta_raw is None:
+        raise KeyError(f"no bnb quant_state tensor for {prefix}")
+    meta = json.loads(bytes(np.asarray(meta_raw, np.uint8)))
+    nested = prefix + ".weight.nested_absmax" in tensors
+    return BNBQuantState(
+        code=np.asarray(tensors[prefix + ".weight.quant_map"], np.float32),
+        absmax=np.asarray(tensors[prefix + ".weight.absmax"]),
+        blocksize=int(meta["blocksize"]),
+        shape=tuple(int(s) for s in meta["shape"]),
+        nested_code=(
+            np.asarray(tensors[prefix + ".weight.nested_quant_map"], np.float32)
+            if nested else None
+        ),
+        nested_absmax=(
+            np.asarray(tensors[prefix + ".weight.nested_absmax"], np.float32)
+            if nested else None
+        ),
+        nested_blocksize=int(meta.get("nested_blocksize", 256)),
+        offset=(
+            float(meta["nested_offset"]) if "nested_offset" in meta else None
+        ),
+    )
+
+
+def load_bnb_checkpoint(model_dir: str, *, dtype=jnp.bfloat16) -> dict:
+    """Load a bnb-4bit HF checkpoint directory into flute-tpu layers.
+
+    Returns ``{name: QuantizedLinear | np.ndarray}``: every serialized
+    Linear4bit becomes a packed :class:`QuantizedLinear` keyed by its
+    module prefix; dense tensors pass through unchanged.
+    """
+    import os
+
+    from safetensors import safe_open
+
+    tensors: dict = {}
+    files = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {model_dir}")
+    for fn in files:
+        with safe_open(os.path.join(model_dir, fn), framework="np") as f:
+            for key in f.keys():
+                tensors[key] = f.get_tensor(key)
+
+    prefixes = {
+        name[: -len(suf)]
+        for name in tensors
+        for suf in _QS_SUFFIXES
+        if name.endswith(suf)
+    }
+    out: dict = {}
+    consumed: set = set()
+    for prefix in sorted(prefixes):
+        state = quant_state_from_tensors(tensors, prefix)
+        bias = tensors.get(prefix + ".bias")
+        out[prefix] = convert_bnb_linear4bit(
+            tensors[prefix + ".weight"], state, bias=bias, dtype=dtype
+        )
+        consumed.update(
+            name for name in tensors if name.startswith(prefix + ".weight")
+        )
+        if bias is not None:
+            consumed.add(prefix + ".bias")
+    for name, t in tensors.items():
+        if name not in consumed:
+            out[name] = t
+    return out

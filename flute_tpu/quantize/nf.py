@@ -105,6 +105,46 @@ def quantize_with_table(
     )
 
 
+def quantize_with_table_np(
+    w: np.ndarray,
+    values: np.ndarray,
+    group_size: int,
+    custom_scales: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (numpy) twin of :func:`quantize_with_table` for streaming
+    checkpoint quantization — identical codes/scales, no device round-trip.
+
+    Returns (codes int32, scales f32); the dequantized tensor is omitted on
+    purpose (streaming callers never materialize it).
+    """
+    values = np.asarray(values, np.float32)
+    pivots = (values[1:] + values[:-1]) / 2.0
+    orig_shape = w.shape
+    qx = np.asarray(w, np.float32).reshape(-1, group_size)
+    if custom_scales is not None:
+        absmax = np.asarray(custom_scales, np.float32).reshape(-1, 1)
+    else:
+        absmax = np.max(np.abs(qx), axis=1, keepdims=True)
+    absmax = np.where(absmax == 0, 1.0, absmax)
+    codes = np.searchsorted(pivots, qx / absmax, side="left").astype(np.int32)
+    scales_shape = orig_shape[:-1] + (orig_shape[-1] // group_size,)
+    return codes.reshape(orig_shape), absmax.reshape(scales_shape).astype(
+        np.float32
+    )
+
+
+def nf_quantize_np(
+    w: np.ndarray,
+    num_bits: int,
+    group_size: int,
+    custom_scales: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side NF quantize: returns (codes, scales, table)."""
+    values = np.asarray(nf_values(num_bits, symmetric=False))
+    codes, scales = quantize_with_table_np(w, values, group_size, custom_scales)
+    return codes, scales, values
+
+
 def nf_quantize(
     w: jnp.ndarray,
     num_bits: int,

@@ -35,11 +35,48 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def _sample_row(key, logits, temperature, top_k, top_p):
+    """Per-slot sampling with runtime parameters (vmapped across slots so
+    one compiled decode step serves mixed per-request settings — the role
+    of vLLM's per-sequence SamplingParams). temperature <= 0 means greedy;
+    top_k <= 0 and top_p >= 1 disable those filters."""
+    v = logits.shape[-1]
+    greedy = temperature <= 0.0
+    t = jnp.where(greedy, 1.0, temperature)
+    lg = logits / t
+    sorted_desc = jnp.sort(lg)[::-1]
+    kth = sorted_desc[jnp.clip(top_k - 1, 0, v - 1)]
+    lg = jnp.where((top_k > 0) & (lg < kth), -jnp.inf, lg)
+    # nucleus: smallest prefix of the sorted distribution reaching top_p
+    sorted_f = jnp.sort(lg)[::-1]
+    probs = jax.nn.softmax(sorted_f)
+    cum = jnp.cumsum(probs)
+    cutoff_idx = jnp.sum(cum < top_p)
+    cutoff = sorted_f[jnp.clip(cutoff_idx, 0, v - 1)]
+    lg = jnp.where((top_p < 1.0) & (lg < cutoff), -jnp.inf, lg)
+    sampled = jax.random.categorical(key, lg)
+    return jnp.where(greedy, jnp.argmax(logits), sampled).astype(jnp.int32)
+
+
+_sample_slots = jax.vmap(_sample_row)
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    """Per-request sampling controls (greedy by default)."""
+
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
+
+
 @dataclasses.dataclass
 class _Request:
     rid: int
     prompt: list
     max_new_tokens: int
+    sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
     out: list = dataclasses.field(default_factory=list)
     done: bool = False
 
@@ -56,6 +93,12 @@ class ContinuousBatchingEngine:
     max_len: int = 1024
     eos_id: Optional[int] = None
     pad_id: int = 0
+    # Prompts longer than this prefill in fixed-size chunks, bounding
+    # per-admission latency and compile count (None = whole-bucket prefill).
+    prefill_chunk: Optional[int] = None
+    # Called as token_callback(rid, token) after every generated token —
+    # the streaming hook the HTTP server uses.
+    token_callback: Optional[Callable[[int, int], None]] = None
 
     def __post_init__(self):
         fwd = self.forward
@@ -64,26 +107,63 @@ class ContinuousBatchingEngine:
         import functools
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_step(params, tokens, cache, pos_vec):
+        def decode_step(params, tokens, cache, pos_vec, key, gen_counts,
+                        temp, top_k, top_p, seeds):
+            logits, cache = fwd(params, config, tokens, cache, pos_vec)
+            # randomness keyed on (request seed, tokens generated so far) —
+            # never on the global engine step — so a request's sampled
+            # output is deterministic per seed regardless of when it was
+            # admitted or what shares the batch
+            keys = jax.vmap(
+                lambda s, c: jax.random.fold_in(jax.random.fold_in(key, s), c)
+            )(seeds, gen_counts)
+            nxt = _sample_slots(keys, logits[:, -1], temp, top_k, top_p)
+            return nxt, cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_step_greedy(params, tokens, cache, pos_vec):
+            # fast path when every active slot is greedy: skips the per-slot
+            # [V] sorts of the sampling program
             logits, cache = fwd(params, config, tokens, cache, pos_vec)
             return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
         self._decode = decode_step
+        self._decode_greedy = decode_step_greedy
+        self._gen_count = np.zeros((self.num_slots,), np.int32)
+        self._key = jax.random.PRNGKey(0)
         self._prefills = {}  # bucket -> jitted fn
         self._queue: deque[_Request] = deque()
         self._slots: list[Optional[_Request]] = [None] * self.num_slots
         self._pos = np.zeros((self.num_slots,), np.int32)
         self._last_tok = np.zeros((self.num_slots,), np.int32)
+        self._temp = np.zeros((self.num_slots,), np.float32)
+        self._top_k = np.zeros((self.num_slots,), np.int32)
+        self._top_p = np.ones((self.num_slots,), np.float32)
+        self._seeds = np.zeros((self.num_slots,), np.int32)
         self._cache = self.init_cache(config, self.num_slots, self.max_len)
         self._next_rid = 0
         self._finished: dict[int, list] = {}
 
     # -- admission ---------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int = 64) -> int:
+    def submit(
+        self,
+        prompt,
+        max_new_tokens: int = 64,
+        sampling: Optional[SamplingParams] = None,
+        **sampling_kw,
+    ) -> int:
+        """Queue a request. Sampling params per request: pass a
+        SamplingParams or temperature=/top_k=/top_p=/seed= keywords."""
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append(_Request(rid, list(prompt), max_new_tokens))
+        if sampling is None:
+            sampling = SamplingParams(**sampling_kw)
+        elif sampling_kw:
+            raise ValueError("pass either sampling= or keyword params, not both")
+        self._queue.append(
+            _Request(rid, list(prompt), max_new_tokens, sampling=sampling)
+        )
         return rid
 
     def _prefill_fn(self, bucket: int):
@@ -96,43 +176,118 @@ class ContinuousBatchingEngine:
             logits, small_cache = fwd(
                 params, config, tokens, small_cache, jnp.int32(0), offsets
             )
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            return nxt, small_cache
+            return logits[:, -1].astype(jnp.float32), small_cache
 
         self._prefills[bucket] = prefill
         return prefill
+
+    def _chunk_fn(self, key):
+        """Jitted forward for one prefill chunk at a scalar position offset
+        (right-padded remainder chunks read their logits at the last real
+        token; junk K/V beyond the prompt is causally masked and then
+        overwritten by decode before it can be attended)."""
+        ck = ("chunk", key)
+        if ck in self._prefills:
+            return self._prefills[ck]
+        fwd, config = self.forward, self.config
+
+        @jax.jit
+        def run_chunk(params, tokens, small_cache, pos):
+            logits, small_cache = fwd(params, config, tokens, small_cache, pos)
+            return logits.astype(jnp.float32), small_cache
+
+        self._prefills[ck] = run_chunk
+        return run_chunk
+
+    def _sample_first(self, logits_row, sampling: SamplingParams) -> int:
+        if "sample1" not in self._prefills:
+            self._prefills["sample1"] = jax.jit(_sample_row)
+        # the prompt's first sampled token is generation index 0
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._key, sampling.seed), 0
+        )
+        return int(
+            self._prefills["sample1"](
+                key, logits_row,
+                jnp.float32(sampling.temperature),
+                jnp.int32(sampling.top_k),
+                jnp.float32(sampling.top_p),
+            )
+        )
+
+    def _prefill(self, req: _Request):
+        """Run prefill for one request; returns (last_logits [V], small_cache,
+        plen)."""
+        plen = len(req.prompt)
+        chunk = self.prefill_chunk
+        if chunk is None or plen <= chunk:
+            bucket = _bucket(plen)
+            toks = np.full((1, bucket), self.pad_id, np.int32)
+            toks[0, bucket - plen:] = req.prompt  # left-pad into the bucket
+            offsets = jnp.asarray([bucket - plen], jnp.int32)
+            small_cache = self.init_cache(self.config, 1, bucket)
+            last, small_cache = self._prefill_fn(bucket)(
+                self.params, jnp.asarray(toks), small_cache, offsets
+            )
+            return last[0], small_cache, plen
+        # chunked prefill: full chunks at exact positions, right-padded
+        # remainder bucket at the tail
+        full = (plen // chunk) * chunk
+        rem = plen - full
+        rb = _bucket(rem) if rem else 0
+        csize = _bucket(max(plen, full + rb))
+        small_cache = self.init_cache(self.config, 1, csize)
+        prompt = np.asarray(req.prompt, np.int32)
+        logits = None
+        for c0 in range(0, full, chunk):
+            logits, small_cache = self._chunk_fn((csize, chunk))(
+                self.params, jnp.asarray(prompt[None, c0:c0 + chunk]),
+                small_cache, jnp.int32(c0),
+            )
+        if rem:
+            rtoks = np.full((1, rb), self.pad_id, np.int32)
+            rtoks[0, :rem] = prompt[full:]
+            logits, small_cache = self._chunk_fn((csize, rb))(
+                self.params, jnp.asarray(rtoks), small_cache, jnp.int32(full)
+            )
+            last = logits[0, rem - 1]
+        else:
+            last = logits[0, -1]
+        return last, small_cache, plen
 
     def _admit(self):
         for slot in range(self.num_slots):
             if self._slots[slot] is not None or not self._queue:
                 continue
             req = self._queue.popleft()
-            plen = len(req.prompt)
-            bucket = _bucket(plen)
-            toks = np.full((1, bucket), self.pad_id, np.int32)
-            toks[0, bucket - plen:] = req.prompt  # left-pad into the bucket
-            offsets = jnp.asarray([bucket - plen], jnp.int32)
-            small_cache = self.init_cache(self.config, 1, bucket)
-            nxt, small_cache = self._prefill_fn(bucket)(
-                self.params, jnp.asarray(toks), small_cache, offsets
+            last_logits, small_cache, plen = self._prefill(req)
+            # Splice the prefilled K/V into this slot; the slot's sequence
+            # occupies cache columns [0, plen).
+            chunked = (
+                self.prefill_chunk is not None and plen > self.prefill_chunk
             )
-            # Splice the prefilled K/V into this slot. The slot's sequence
-            # occupies cache columns [0, plen): shift out the left padding.
-            pad = bucket - plen
+            # whole-bucket prefill left-pads; chunked prefill starts at 0
+            start = 0 if chunked else small_cache["k"][0].shape[2] - plen
             for key in ("k", "v"):
                 for li, small in enumerate(small_cache[key]):
                     block = jax.lax.dynamic_slice_in_dim(
-                        small, pad, plen, axis=2
+                        small, start, plen, axis=2
                     )  # [1, H, plen, D]
                     self._cache[key][li] = jax.lax.dynamic_update_slice(
                         self._cache[key][li],
                         block.astype(self._cache[key][li].dtype),
                         (slot, 0, 0, 0),
                     )
-            tok = int(np.asarray(nxt)[0])
+            tok = self._sample_first(last_logits, req.sampling)
             self._slots[slot] = req
             self._pos[slot] = plen
             self._last_tok[slot] = tok
+            self._gen_count[slot] = 1  # next decode draw is generation 1
+            s = req.sampling
+            self._temp[slot] = s.temperature
+            self._top_k[slot] = s.top_k
+            self._top_p[slot] = s.top_p
+            self._seeds[slot] = s.seed
             self._record(slot, tok)
 
     # -- stepping ----------------------------------------------------------
@@ -145,6 +300,8 @@ class ContinuousBatchingEngine:
             req.done = True
         else:
             req.out.append(tok)
+            if self.token_callback is not None:
+                self.token_callback(req.rid, tok)
         if (
             req.done
             or len(req.out) >= req.max_new_tokens
@@ -163,10 +320,21 @@ class ContinuousBatchingEngine:
             return bool(self._queue)
         tokens = jnp.asarray(self._last_tok[:, None])
         pos_vec = jnp.asarray(self._pos)
-        nxt, self._cache = self._decode(self.params, tokens, self._cache, pos_vec)
+        if all(self._temp[i] <= 0 for i in active):
+            nxt, self._cache = self._decode_greedy(
+                self.params, tokens, self._cache, pos_vec
+            )
+        else:
+            nxt, self._cache = self._decode(
+                self.params, tokens, self._cache, pos_vec,
+                self._key, jnp.asarray(self._gen_count),
+                jnp.asarray(self._temp), jnp.asarray(self._top_k),
+                jnp.asarray(self._top_p), jnp.asarray(self._seeds),
+            )
         nxt_np = np.asarray(nxt)
         for slot in active:
             self._pos[slot] += 1
+            self._gen_count[slot] += 1
             tok = int(nxt_np[slot])
             self._last_tok[slot] = tok
             self._record(slot, tok)

@@ -9,19 +9,27 @@ single background device thread stepping the engine (JAX dispatch is not
 thread-safe across requests; the queue is).
 
 Endpoints:
-  POST /v1/completions   {"prompt": [token ids] | "text", "max_tokens": N}
+  POST /v1/completions   {"prompt": [token ids] | "text",
+                          "max_tokens": N,
+                          "temperature": f, "top_k": n, "top_p": f,
+                          "seed": n, "stream": bool}
   GET  /health
+
+With ``"stream": true`` the response is chunked newline-delimited JSON —
+one ``{"token": t}`` object per generated token as it is produced, then a
+final ``{"done": true, "tokens": [...]}`` record.
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any
+from typing import Any, Optional
 
-from flute_tpu.serving.continuous import ContinuousBatchingEngine
+from flute_tpu.serving.continuous import ContinuousBatchingEngine, SamplingParams
 
 
 class ServingLoop:
@@ -33,14 +41,33 @@ class ServingLoop:
         self._lock = threading.Lock()
         self._results: dict[int, Any] = {}
         self._events: dict[int, threading.Event] = {}
+        self._streams: dict[int, queue.Queue] = {}
+        engine.token_callback = self._on_token
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, prompt_ids, max_tokens: int) -> int:
+    def _on_token(self, rid: int, tok: int) -> None:
+        # called from the engine-stepping thread while holding self._lock
+        q = self._streams.get(rid)
+        if q is not None:
+            q.put(tok)
+
+    def submit(
+        self,
+        prompt_ids,
+        max_tokens: int,
+        sampling: Optional[SamplingParams] = None,
+        stream: bool = False,
+    ) -> int:
         with self._lock:
-            rid = self.engine.submit(prompt_ids, max_new_tokens=max_tokens)
+            rid = self.engine.submit(
+                prompt_ids, max_new_tokens=max_tokens,
+                sampling=sampling or SamplingParams(),
+            )
             self._events[rid] = threading.Event()
+            if stream:
+                self._streams[rid] = queue.Queue()
         return rid
 
     def wait(self, rid: int, timeout: float = 300.0):
@@ -51,6 +78,28 @@ class ServingLoop:
             self._events.pop(rid, None)
             return self._results.pop(rid)
 
+    def stream_tokens(self, rid: int, timeout: float = 300.0):
+        """Yield tokens for ``rid`` as they are generated (stream=True
+        submissions only); terminates when the request finishes."""
+        q = self._streams[rid]
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                tok = q.get(timeout=min(1.0, max(0.0, deadline - time.monotonic())))
+            except queue.Empty:
+                if self._events[rid].is_set():
+                    break
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(f"request {rid} timed out")
+                continue
+            if tok is None:
+                break
+            yield tok
+        with self._lock:
+            self._streams.pop(rid, None)
+            self._events.pop(rid, None)
+            self._results.pop(rid, None)
+
     def _run(self):
         while not self._stop:
             with self._lock:
@@ -59,6 +108,9 @@ class ServingLoop:
                 if done:
                     for rid, toks in list(done.items()):
                         self._results[rid] = toks
+                        q = self._streams.get(rid)
+                        if q is not None:
+                            q.put(None)  # end-of-stream sentinel
                         ev = self._events.get(rid)
                         if ev is not None:
                             ev.set()
@@ -71,8 +123,19 @@ class ServingLoop:
         self._thread.join(timeout=2)
 
 
+def _parse_sampling(req: dict) -> SamplingParams:
+    return SamplingParams(
+        temperature=float(req.get("temperature", 0.0)),
+        top_k=int(req.get("top_k", 0)),
+        top_p=float(req.get("top_p", 1.0)),
+        seed=int(req.get("seed", 0)),
+    )
+
+
 def make_handler(loop: ServingLoop):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -107,14 +170,49 @@ def make_handler(loop: ServingLoop):
                 if not isinstance(prompt, list) or not prompt:
                     raise ValueError("prompt must be a non-empty token list")
                 max_tokens = int(req.get("max_tokens", 64))
-                rid = loop.submit(prompt, max_tokens)
-                toks = loop.wait(rid)
-                out: dict = {"id": rid, "tokens": toks}
-                if loop.tokenizer is not None:
-                    out["text"] = loop.tokenizer.decode(toks)
-                self._send(200, out)
+                sampling = _parse_sampling(req)
+                stream = bool(req.get("stream", False))
             except Exception as e:  # noqa: BLE001 — report to client
                 self._send(400, {"error": str(e)})
+                return
+
+            if not stream:
+                try:
+                    rid = loop.submit(prompt, max_tokens, sampling)
+                    toks = loop.wait(rid)
+                    out: dict = {"id": rid, "tokens": toks}
+                    if loop.tokenizer is not None:
+                        out["text"] = loop.tokenizer.decode(toks)
+                    self._send(200, out)
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, {"error": str(e)})
+                return
+
+            # streamed: chunked newline-delimited JSON, token by token
+            rid = loop.submit(prompt, max_tokens, sampling, stream=True)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(obj: dict):
+                data = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+
+            toks = []
+            try:
+                for tok in loop.stream_tokens(rid):
+                    toks.append(tok)
+                    chunk({"token": tok})
+                final: dict = {"done": True, "id": rid, "tokens": toks}
+                if loop.tokenizer is not None:
+                    final["text"] = loop.tokenizer.decode(toks)
+                chunk(final)
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-stream
 
     return Handler
 

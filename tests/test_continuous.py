@@ -101,3 +101,46 @@ def test_gemma2_continuous_engine():
     out = eng.run()
     assert sorted(out) == sorted(rids)
     assert all(len(v) == 4 for v in out.values())
+
+
+def test_chunked_prefill_matches_whole_bucket(tiny_q):
+    """Chunked prefill admission must reproduce whole-bucket greedy output
+    (same K/V content; junk tail positions are causally masked and
+    overwritten by decode before ever being attended)."""
+    config, qparams = tiny_q
+    prompts = [[1, 5, 9], list(range(2, 25))]  # short + long (chunks at 8)
+
+    def run(chunk):
+        eng = ContinuousBatchingEngine(
+            params=qparams, config=config, num_slots=2, max_len=64,
+            prefill_chunk=chunk,
+        )
+        rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        out = eng.run()
+        return [out[r] for r in rids]
+
+    assert run(None) == run(8)
+
+
+def test_per_request_sampling_engine(tiny_q):
+    """Mixed greedy + sampled slots in one engine population."""
+    from flute_tpu.serving.continuous import SamplingParams
+
+    config, qparams = tiny_q
+    eng = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=3, max_len=48
+    )
+    g = eng.submit([1, 5, 9], max_new_tokens=6)
+    s1 = eng.submit([1, 5, 9], max_new_tokens=6,
+                    sampling=SamplingParams(temperature=3.0, top_k=50, seed=1))
+    s2 = eng.submit([1, 5, 9], max_new_tokens=6,
+                    sampling=SamplingParams(temperature=3.0, top_k=50, seed=2))
+    out = eng.run()
+
+    # greedy slot unaffected by samplers sharing the batch
+    eng2 = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=1, max_len=48
+    )
+    g2 = eng2.submit([1, 5, 9], max_new_tokens=6)
+    assert out[g] == eng2.run()[g2]
+    assert len(out[s1]) == 6 and len(out[s2]) == 6

@@ -164,3 +164,82 @@ def test_gemma2_config_and_mapping(tmp_path):
         params, c, jnp.asarray([[1, 2]], jnp.int32), cache, jnp.int32(0)
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_streaming_quantize_matches_in_memory(tmp_path):
+    """quantize_hf_model_streaming must produce a checkpoint whose planes,
+    scales and tables are identical to the in-memory quantize path, with
+    bounded buffering (the 70B enablement contract, VERDICT r1 item 2)."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        llama.LlamaConfig.tiny(), rope_scaling_factor=None
+    )
+    params = llama.init_params(config, rng=0)
+    src = str(tmp_path / "hf")
+    _write_llama_ckpt(src, config, params)
+
+    out_mem = str(tmp_path / "qmem")
+    out_str = str(tmp_path / "qstr")
+    hf.quantize_hf_model(src, out_mem, num_bits=4, group_size=64)
+    stats = hf.quantize_hf_model_streaming(src, out_str, num_bits=4, group_size=64)
+    # unfused streaming flushes every projection on arrival
+    assert stats["buffered_high_water"] <= 1
+
+    pm, _, _ = hf.load_quantized_model(out_mem)
+    ps, cfg, sidecar = hf.load_quantized_model(out_str)
+    assert sidecar["num_bits"] == 4
+    for li in range(config.num_layers):
+        for key in ("q", "k", "v", "o", "gate", "up", "down"):
+            a, b = pm["layers"][li][key], ps["layers"][li][key]
+            for pa, pb in zip(a.planes, b.planes):
+                np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+            np.testing.assert_array_equal(
+                np.asarray(a.scales, np.float32), np.asarray(b.scales, np.float32)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a.table), np.asarray(b.table)
+            )
+    # dense leaves agree too
+    np.testing.assert_array_equal(
+        np.asarray(pm["embed"], np.float32), np.asarray(ps["embed"], np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pm["lm_head"], np.float32),
+        np.asarray(ps["lm_head"], np.float32),
+    )
+
+    # forward pass works end to end on the streamed checkpoint
+    eng = Engine(params=ps, config=cfg, max_len=16, batch_size=1)
+    toks = eng.generate([[1, 2, 3]], max_new_tokens=3)
+    assert len(toks[0]) == 3
+
+
+def test_streaming_quantize_fused(tmp_path):
+    """Fused streaming: qkv/gate_up groups buffer at most one layer and
+    match quantize_model(fuse=True)."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        llama.LlamaConfig.tiny(), rope_scaling_factor=None
+    )
+    params = llama.init_params(config, rng=0)
+    src = str(tmp_path / "hf")
+    _write_llama_ckpt(src, config, params)
+
+    out = str(tmp_path / "qf")
+    stats = hf.quantize_hf_model_streaming(
+        src, out, num_bits=4, group_size=64, fuse=True
+    )
+    assert stats["buffered_high_water"] <= 5  # q,k,v + gate,up of one layer
+
+    direct = llama.quantize_model(params, 4, 64, fuse=True)
+    ps, _, _ = hf.load_quantized_model(out)
+    for li in range(config.num_layers):
+        for key in ("qkv", "gate_up", "o", "down"):
+            a, b = direct["layers"][li][key], ps["layers"][li][key]
+            for pa, pb in zip(a.planes, b.planes):
+                np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+            np.testing.assert_array_equal(
+                np.asarray(a.scales, np.float32), np.asarray(b.scales, np.float32)
+            )

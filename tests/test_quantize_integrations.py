@@ -230,3 +230,79 @@ def test_scales_gradient_flows():
     g = jax.grad(loss)(layer.scales)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_bnb_fp4_table_normalized():
+    """FP4's non-ascending sign-magnitude table is accepted: sorted +
+    code-permuted at convert time, value-identical to bnb's dequant."""
+    rng = np.random.default_rng(7)
+    n, k, bs = 128, 256, 64
+    # bnb FP4 table (sign-magnitude order, not ascending)
+    fp4 = np.asarray(
+        [0.0, 0.0052, 0.6667, 1.0, 0.3333, 0.5, 0.1667, 0.25,
+         -0.0, -0.0052, -0.6667, -1.0, -0.3333, -0.5, -0.1667, -0.25],
+        np.float32,
+    )
+    codes = rng.integers(0, 16, n * k, dtype=np.int32)
+    packed = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8)
+    absmax = rng.uniform(0.5, 2.0, (n * k) // bs).astype(np.float32)
+    state = bnb.BNBQuantState(
+        code=fp4, absmax=absmax, blocksize=bs, shape=(n, k)
+    )
+    layer = bnb.convert_bnb_linear4bit(packed, state, dtype=jnp.float32)
+    want = bnb.dequantize_bnb(state, packed)  # [N, K]
+    got = np.asarray(layer.dequantize(jnp.float32), np.float32).T
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    # table is now ascending (duplicates from +/-0 allowed)
+    assert np.all(np.diff(np.asarray(layer.table)) >= 0)
+
+
+def test_bnb_file_level_checkpoint(tmp_path):
+    """Round-trip a synthetic HF-serialized bnb checkpoint (packed JSON
+    quant_state tensor + nested absmax) through load_bnb_checkpoint."""
+    import json as json_mod
+
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(8)
+    n, k, bs = 128, 256, 64
+    packed, state = _fake_bnb_layer(rng, n=n, k=k, blocksize=bs, nested=True)
+
+    meta = {
+        "quant_type": "nf4",
+        "blocksize": bs,
+        "shape": [n, k],
+        "dtype": "bfloat16",
+        "nested_blocksize": state.nested_blocksize,
+        "nested_offset": float(state.offset),
+    }
+    meta_t = np.frombuffer(json_mod.dumps(meta).encode(), np.uint8).copy()
+    prefix = "model.layers.0.self_attn.q_proj"
+    tensors = {
+        prefix + ".weight": np.asarray(packed, np.uint8).reshape(-1, 1),
+        prefix + ".weight.absmax": np.asarray(state.absmax, np.uint8),
+        prefix + ".weight.quant_map": np.asarray(state.code, np.float32),
+        prefix + ".weight.nested_absmax": np.asarray(state.nested_absmax, np.float32),
+        prefix + ".weight.nested_quant_map": np.asarray(state.nested_code, np.float32),
+        prefix + ".weight.quant_state.bitsandbytes__nf4": meta_t,
+        "model.norm.weight": rng.standard_normal(8).astype(np.float32),
+    }
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    out = bnb.load_bnb_checkpoint(str(tmp_path))
+    layer = out[prefix]
+    want = bnb.dequantize_bnb(state, packed)
+    got = np.asarray(layer.dequantize(jnp.bfloat16), np.float32).T
+    want_bf = np.asarray(
+        jnp.asarray(state.code, jnp.bfloat16)[
+            jnp.asarray(bnb.unpack_nibbles(packed, n * k).reshape(n, k))
+        ] * jnp.repeat(
+            jnp.asarray(bnb.decode_absmax(state).reshape(n, -1), jnp.bfloat16),
+            bs, axis=1,
+        ),
+        np.float32,
+    )
+    np.testing.assert_array_equal(got, want_bf)
+    # f32 check against the independent reference decode (loose: bf16 round)
+    assert np.abs(got - want).max() <= np.abs(want).max() * 1.2e-2
+    assert "model.norm.weight" in out

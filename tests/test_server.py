@@ -75,3 +75,50 @@ def test_concurrent_requests(server):
 def test_bad_request(server):
     code, out = _post(server, {"prompt": "text not supported w/o tokenizer"})
     assert code == 400 and "error" in out
+
+
+def test_streaming_completion(server):
+    """stream=true returns chunked ndjson: one {"token": t} per generated
+    token then a final {"done": true} record matching the full list."""
+    port = server.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt": [1, 5, 9], "max_tokens": 4,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        records = [json.loads(line) for line in r if line.strip()]
+    toks = [rec["token"] for rec in records if "token" in rec]
+    final = records[-1]
+    assert final.get("done") is True
+    assert final["tokens"] == toks
+    assert len(toks) == 4
+
+    # streamed greedy output matches the non-streamed one
+    code, out = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4})
+    assert code == 200 and out["tokens"] == toks
+
+
+def test_per_request_sampling(server):
+    """temperature/top_p ride through per request: sampled output is
+    deterministic per seed and differs across seeds (on some prompt)."""
+    def sample(seed):
+        code, out = _post(server, {
+            "prompt": [2, 6, 10, 14], "max_tokens": 8,
+            "temperature": 5.0, "top_p": 0.98, "seed": seed,
+        })
+        assert code == 200
+        return out["tokens"]
+
+    a1, a2 = sample(7), sample(7)
+    assert a1 == a2  # per-seed determinism
+    others = [sample(s) for s in range(5)]
+    assert any(o != a1 for o in others)  # temperature actually samples
+
+    # greedy request alongside sampled ones still greedy-deterministic
+    code, g1 = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4})
+    code, g2 = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4,
+                              "temperature": 0.0})
+    assert g1["tokens"] == g2["tokens"]
