@@ -3,6 +3,7 @@ from flute_tpu.parallel.tp import (
     ROW_PARALLEL,
     cache_partition_spec,
     llama_partition_specs,
+    make_hybrid_mesh,
     make_mesh,
     shard_params,
     tp_forward_fn,
@@ -15,6 +16,7 @@ __all__ = [
     "ROW_PARALLEL",
     "cache_partition_spec",
     "llama_partition_specs",
+    "make_hybrid_mesh",
     "make_mesh",
     "shard_params",
     "tp_forward_fn",

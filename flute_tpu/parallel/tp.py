@@ -69,10 +69,23 @@ def make_hybrid_mesh(
     per-token TP collectives never cross DCN."""
     from jax.experimental import mesh_utils
 
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, tp),
-        dcn_mesh_shape=(dp_dcn, 1),
-    )
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, tp),
+            dcn_mesh_shape=(dp_dcn, 1),
+        )
+    except (ValueError, AttributeError):
+        # Single-slice / virtual-device environments (CPU simulation, one
+        # real chip) have no slice_index attribute; emulate the topology by
+        # reshaping the flat device list — collectives compile and execute
+        # identically, only the physical DCN/ICI distinction is absent.
+        all_devices = jax.devices()
+        n = dp_dcn * tp
+        if len(all_devices) < n:
+            raise ValueError(
+                f"hybrid mesh needs {n} devices, have {len(all_devices)}"
+            )
+        devices = np.asarray(all_devices[:n]).reshape(dp_dcn, tp)
     return Mesh(devices, axis_names)
 
 

@@ -1,0 +1,168 @@
+"""Quantization-quality proxy evaluation (no-egress environment).
+
+The reference's quality story is Wiki/C4 perplexity on real checkpoints
+(BASELINE.md). This environment has no model weights and no network, so
+absolute-PPL reproduction is impossible; what IS verifiable here is the
+*structure* the reference's tables exhibit, on a model with real learned
+signal:
+
+  1. train a tiny Llama (real architecture) to convergence on a synthetic
+     Markov corpus — giving weights with meaningful structure;
+  2. dense PPL < W4 < W3 < W2 (quality degrades with bit width, same
+     ordering as reference README.md:143-145);
+  3. kernel PPL == fake-quant PPL (the Pallas path is numerically faithful
+     to the quantization semantics at model scale — the reference's
+     tests/vllm.py:57-82 equivalence, taken to full-model PPL);
+  4. NFL calibration (learned scales) moves quantized PPL back toward
+     dense (the reference's NFL 6.31→6.24 direction, README.md:143-144).
+
+Writes QUALITY.json; QUALITY.md is the human-readable summary.
+
+Usage: python scripts/quality_proxy.py [--steps 600] [--device cpu|tpu]
+"""
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+
+def make_corpus(vocab: int, n_tokens: int, seed: int):
+    """Order-1 Markov chain with 4 sparse successors per token. The
+    transition table is FIXED (seed 1234) — train and eval draw different
+    trajectories from the same chain."""
+    succ = np.random.default_rng(1234).integers(0, vocab, (vocab, 2))
+    rng = np.random.default_rng(seed)
+    probs = np.asarray([0.9, 0.1])
+    toks = np.empty(n_tokens, np.int32)
+    toks[0] = rng.integers(0, vocab)
+    choices = rng.choice(2, size=n_tokens, p=probs)
+    uniform = rng.random(n_tokens) < 0.02
+    randoms = rng.integers(0, vocab, n_tokens)
+    for i in range(1, n_tokens):
+        toks[i] = randoms[i] if uniform[i] else succ[toks[i - 1], choices[i]]
+    return toks
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--device", type=str, default="cpu")
+    p.add_argument("--nfl-steps", type=int, default=60)
+    p.add_argument("--out", type=str, default="QUALITY.json")
+    args = p.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from flute_tpu import eval as ev
+    from flute_tpu.models import llama
+    from flute_tpu.quantize import learnable
+
+    vocab = 512
+    config = dataclasses.replace(
+        llama.LlamaConfig.tiny(vocab_size=vocab), num_layers=2
+    )
+    params = llama.init_params(config, rng=0)
+    # train in f32 for stable convergence of the proxy
+    params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+
+    train = make_corpus(vocab, 200_000, seed=0)
+    test = make_corpus(vocab, 40_000, seed=1)
+    seq, bs = 128, 16
+
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, tokens):
+        def loss_fn(p):
+            return learnable.clm_loss(p, config, tokens, llama.forward)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(2)
+    nwin = len(train) // seq
+    for i in range(args.steps):
+        idx = rng.integers(0, nwin, bs)
+        batch = np.stack([train[j * seq:(j + 1) * seq] for j in idx])
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(batch))
+        if i % 100 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {float(loss):.3f}", flush=True)
+
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def ppl(pp, cfg=config):
+        return ev.perplexity(pp, cfg, test[:20_000], seq_len=256, batch_size=8)
+
+    results = {"dense": ppl(params)}
+    print(f"dense PPL: {results['dense']:.4f}", flush=True)
+
+    from flute_tpu.quantize import nf as nf_mod
+
+    for bits in (4, 3, 2):
+        q = llama.quantize_model(params, num_bits=bits, group_size=64)
+        results[f"w{bits}_kernel"] = ppl(q)
+        # fake-quant twin (dense weights carrying quantized values)
+        fake = {k: v for k, v in params.items()}
+        fake["layers"] = []
+        for layer in params["layers"]:
+            nl = dict(layer)
+            for key in llama._PROJ_KEYS:
+                w = jnp.asarray(layer[key]).T
+                nl[key] = nf_mod.nf_quantize_fake(w, bits, 64, jnp.bfloat16).T
+            fake["layers"].append(nl)
+        results[f"w{bits}_fake"] = ppl(fake)
+        print(
+            f"W{bits}: kernel {results[f'w{bits}_kernel']:.4f}  "
+            f"fake {results[f'w{bits}_fake']:.4f}",
+            flush=True,
+        )
+
+    # NFL: learned scales on the most-degraded practical width (W3)
+    calib = [
+        np.stack([
+            train[j * seq:(j + 1) * seq]
+            for j in rng.integers(0, nwin, 8)
+        ])
+        for _ in range(args.nfl_steps)
+    ]
+    lparams = learnable.learn_scales(
+        params, config, calib, num_bits=3, group_size=64,
+        learning_rate=3e-3, forward=llama.forward,
+    )
+    qnfl = learnable.finalize_model(lparams)
+    results["w3_nfl_kernel"] = ppl(qnfl)
+    print(f"W3 + NFL: {results['w3_nfl_kernel']:.4f}", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+    # structural assertions (the point of the proxy). The bit-width
+    # ordering uses a noise margin: an over-parameterized proxy model can
+    # absorb 4-bit noise entirely (W4 == dense to 4 decimals is itself
+    # evidence of quantization fidelity).
+    eps = 1e-3 * results["dense"]
+    assert results["dense"] <= results["w4_kernel"] + eps
+    assert results["w4_kernel"] <= results["w3_kernel"] + eps
+    assert results["w3_kernel"] < results["w2_kernel"], \
+        "2-bit must measurably degrade the proxy model"
+    for b in (2, 3, 4):
+        agree = abs(results[f"w{b}_kernel"] - results[f"w{b}_fake"])
+        assert agree / results[f"w{b}_fake"] < 0.005, \
+            f"W{b} kernel/fake-quant PPL disagree"
+    assert results["w3_nfl_kernel"] < results["w3_kernel"], \
+        "NFL calibration failed to improve W3 PPL"
+    print("ALL QUALITY-STRUCTURE CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
