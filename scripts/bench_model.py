@@ -108,31 +108,47 @@ def build_quantized_8b(
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batches", type=str, default=None,
+                   help="comma list; sweeps batch sizes in one build")
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--bits", type=int, default=4)
     p.add_argument("--group", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=16)
     p.add_argument("--max-len", type=int, default=256)
+    p.add_argument("--max-lens", type=str, default=None,
+                   help="comma list; sweeps context lengths in one build")
     p.add_argument("--quantize-head", action="store_true")
     args = p.parse_args()
+
+    batches = ([int(b) for b in args.batches.split(",")]
+               if args.batches else [args.batch])
+    max_lens = ([int(s_) for s_ in args.max_lens.split(",")]
+                if args.max_lens else [args.max_len])
 
     print(f"devices: {jax.devices()}", flush=True)
     t0 = time.time()
     config, params = build_quantized_8b(
-        args.bits, args.group, args.batch, quantize_head=args.quantize_head
+        args.bits, args.group, batches[0], quantize_head=args.quantize_head
     )
     jax.block_until_ready(params["embed"])
     print(f"8B quantize+pack on-device: {time.time() - t0:.1f}s", flush=True)
 
+    for b in batches:
+        for ml in max_lens:
+            _measure(args, config, params, b, ml)
+
+
+def _measure(args, config, params, batch, max_len):
     from flute_tpu.serving.engine import greedy_generate_fused
 
+    print(f"--- batch {batch}, max_len {max_len} ---", flush=True)
     prompts = jnp.asarray(
-        np.random.default_rng(0).integers(1, 1000, (args.batch, args.prompt_len)),
+        np.random.default_rng(0).integers(1, 1000, (batch, args.prompt_len)),
         jnp.int32,
     )
     t0 = time.time()
     out = greedy_generate_fused(
-        params, config, prompts, 8, max_len=args.max_len
+        params, config, prompts, 8, max_len=max_len
     )
     jax.block_until_ready(out)
     print(f"compile+warmup: {time.time() - t0:.1f}s", flush=True)
@@ -157,11 +173,11 @@ def main():
     for trial in range(3):
         t0 = time.time()
         out = greedy_generate_fused(
-            params, config, prompts, args.steps, max_len=args.max_len
+            params, config, prompts, args.steps, max_len=max_len
         )
         jax.block_until_ready(out)
         dt = time.time() - t0
-        toks = args.batch * args.steps
+        toks = batch * args.steps
         step_ms = dt / args.steps * 1e3
         best = min(best or 1e9, dt)
         print(
@@ -171,7 +187,8 @@ def main():
         )
     bw = step_bytes / (best / args.steps) / 1e9
     print(
-        f"best: {args.batch * args.steps / best:.1f} tok/s/chip; "
+        f"RESULT batch={batch} max_len={max_len}: "
+        f"{batch * args.steps / best:.1f} tok/s/chip; "
         f"weight-read bandwidth {bw:.0f} GB/s ({100 * bw / 819:.1f}% of "
         f"819 GB/s roofline)",
         flush=True,
