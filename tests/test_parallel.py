@@ -150,3 +150,37 @@ def test_shard_merge_3bit_two_planes():
         parts[0] + parts[1], full,
         atol=BF16_RTOL * max(np.abs(full).max(), 1.0), rtol=0,
     )
+
+
+def test_shard_merge_w3_wide_plane():
+    """The wide single-plane 3-bit layout must reshard exactly like the
+    dual-plane one: N-shard by column slice, K-shard by chunk-aligned row
+    slice, partials summing to the full product."""
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.standard_normal((256, 1024)), jnp.float32)
+    layer = fnn.quantize_linear(w, num_bits=3, group_size=64)  # wide default
+    assert len(layer.planes) == 1
+
+    for axis, nsh in (("n", 2), ("k", 2)):
+        shards = shard_linear(layer, nsh, axis)
+        merged = merge_shards(shards, axis)
+        np.testing.assert_array_equal(
+            np.asarray(layer.planes[0]), np.asarray(merged.planes[0])
+        )
+
+    x = jnp.asarray(rng.standard_normal((3, 1024)), jnp.bfloat16)
+    full = np.asarray(layer(x), np.float32)
+    kshards = shard_linear(layer, 2, "k")
+    parts = [
+        np.asarray(s(x[:, i * 512:(i + 1) * 512]), np.float32)
+        for i, s in enumerate(kshards)
+    ]
+    np.testing.assert_allclose(
+        parts[0] + parts[1], full,
+        atol=BF16_RTOL * max(np.abs(full).max(), 1.0), rtol=0,
+    )
+    nshards = shard_linear(layer, 2, "n")
+    recon = np.concatenate(
+        [np.asarray(s(x), np.float32) for s in nshards], axis=1
+    )
+    np.testing.assert_array_equal(recon, full)
