@@ -101,7 +101,10 @@ class PipelinedModel:
                 x = x_or_tokens
             b, t = x.shape[:2]
             s = cache["k"][0].shape[2]  # per-layer [B, Hkv, S, D]
-            slots = pos + jnp.arange(t, dtype=jnp.int32)[None, :]
+            # pos: scalar or [B] vector (continuous batching) — same
+            # contract as llama.forward:329
+            pos_col = pos[:, None] if pos.ndim == 1 else pos
+            slots = pos_col + jnp.arange(t, dtype=jnp.int32)[None, :]
             if offsets is None:
                 positions = jnp.broadcast_to(slots, (b, t))
             else:
@@ -153,7 +156,7 @@ class PipelinedModel:
         position_offsets: Optional[jax.Array] = None,
     ):
         """Run all stages sequentially; activations hop devices over ICI."""
-        pos = jnp.int32(pos)
+        pos = jnp.asarray(pos, jnp.int32)
         x = tokens
         new_caches = []
         for i, (fn, stage, dev) in enumerate(
@@ -168,3 +171,59 @@ class PipelinedModel:
             x, cache_i = fn(stage, x, caches[i], jax.device_put(pos, dev), offs)
             new_caches.append(cache_i)
         return x, new_caches
+
+    def forward_microbatched(
+        self,
+        tokens: jax.Array,
+        caches: list[dict],
+        pos,
+        position_offsets: Optional[jax.Array] = None,
+        num_microbatches: int = 2,
+    ):
+        """GPipe-style microbatched forward: the batch splits into
+        ``num_microbatches`` chunks whose stage executions overlap across
+        devices — stage s computes microbatch m while stage s+1 computes
+        m-1. The overlap comes from JAX's async dispatch: microbatch m's
+        stage-(s+1) call depends only on its own stage-s output, so every
+        device's queue stays busy through the fill/drain ramp instead of
+        the whole pipeline serializing per batch (the r1 sequential
+        ``forward``'s weakness).
+
+        Identical math to ``forward`` (batch rows are independent);
+        returns the same (logits, caches) contract.
+        """
+        b = tokens.shape[0]
+        m = min(num_microbatches, b)
+        if b % m:
+            raise ValueError(f"batch {b} not divisible by {m} microbatches")
+        mb = b // m
+        pos = jnp.asarray(pos, jnp.int32)
+        pos_vec = pos.ndim == 1
+
+        logits_parts = []
+        cache_parts: list[list] = [[] for _ in self.stages]
+        for mi in range(m):
+            sl = slice(mi * mb, (mi + 1) * mb)
+            x = tokens[sl]
+            for i, (fn, stage, dev) in enumerate(
+                zip(self._fns, self.stages, self.devices)
+            ):
+                x = jax.device_put(x, dev)
+                offs = (
+                    None
+                    if position_offsets is None
+                    else jax.device_put(position_offsets[sl], dev)
+                )
+                cache_mi = jax.tree.map(lambda a, s_=sl: a[s_], caches[i])
+                p = pos[sl] if pos_vec else pos
+                x, cache_i = fn(
+                    stage, x, cache_mi, jax.device_put(p, dev), offs
+                )
+                cache_parts[i].append(cache_i)
+            logits_parts.append(x)
+        logits = jnp.concatenate(logits_parts, axis=0)
+        new_caches = [
+            jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+            for parts in cache_parts
+        ]
+        return logits, new_caches

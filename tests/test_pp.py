@@ -81,3 +81,44 @@ def test_pipelined_decode_steps(tiny_q):
     l1 = np.asarray(logits_1[:, -1])
     denom = max(np.abs(l1).max(), 1e-6)
     assert np.abs(a[0] - l1).max() / denom < 1.1e-2
+
+
+def test_microbatched_matches_sequential(tiny_q):
+    """forward_microbatched must reproduce forward: same logits and same
+    per-stage caches (batch rows are independent; microbatching only
+    changes the dispatch schedule)."""
+    config, qparams = tiny_q
+    pm = PipelinedModel.build(qparams, config, num_stages=2,
+                              devices=jax.devices()[:2])
+    b, t, s = 4, 6, 12
+    tokens = jnp.asarray(
+        np.random.default_rng(2).integers(0, 100, (b, t)), jnp.int32
+    )
+    logits_seq, caches_seq = pm.forward(tokens, pm.init_cache(b, s), 0)
+    logits_mb, caches_mb = pm.forward_microbatched(
+        tokens, pm.init_cache(b, s), 0, num_microbatches=2
+    )
+    denom = max(np.abs(np.asarray(logits_seq)).max(), 1e-6)
+    assert (
+        np.abs(np.asarray(logits_mb) - np.asarray(logits_seq)).max() / denom
+        < 1.1e-2
+    )
+    for cs, cm in zip(caches_seq, caches_mb):
+        for key in ("k", "v"):
+            for a, b_ in zip(cs[key], cm[key]):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                    rtol=0, atol=1e-2,
+                )
+
+    # vector positions (continuous-batching path) microbatch too
+    pos = jnp.asarray([0, 1, 0, 2], jnp.int32)
+    lv_seq, _ = pm.forward(tokens, pm.init_cache(b, s), pos)
+    lv_mb, _ = pm.forward_microbatched(
+        tokens, pm.init_cache(b, s), pos, num_microbatches=2
+    )
+    assert (
+        np.abs(np.asarray(lv_mb) - np.asarray(lv_seq)).max()
+        / max(np.abs(np.asarray(lv_seq)).max(), 1e-6)
+        < 1.1e-2
+    )
