@@ -23,6 +23,49 @@ DEFAULT_CHUNK = 256
 
 
 @dataclasses.dataclass(frozen=True)
+class DeviceProfile:
+    """Per-TPU-generation strategy knobs (r1 advisor: v5e constants were
+    baked into code; this is the seam a v6e/v5p port calibrates — every
+    value here was measured on v5e, see docs/KERNEL_NOTES.md)."""
+
+    # block_m at/below which group-accumulator scaling beats weight-side
+    # scale expansion (MXU latency-tolerant decode regime)
+    group_acc_max_bm: int = 64
+    # preferred block_n candidates, best first
+    bn_ladder: tuple[int, ...] = (2048, 1024, 512, 256, 128)
+    # preferred block_k candidates for decode (bm <= group_acc_max_bm)
+    bk_ladder_decode: tuple[int, ...] = (2048, 1024, 512, 256)
+    # preferred block_k candidates for prefill
+    bk_ladder_prefill: tuple[int, ...] = (1024, 512, 256)
+    # VMEM working-set budget for the validity predicate (bytes)
+    vmem_budget: int = 24 * 1024 * 1024
+
+
+_PROFILES = {
+    # measured calibration (kernel_lab r1/r2)
+    "v5 lite": DeviceProfile(),
+    # conservative defaults for untested generations: same shape logic,
+    # identical until someone runs scripts/kernel_lab*.py there
+    "default": DeviceProfile(),
+}
+
+
+def device_profile(kind: str | None = None) -> DeviceProfile:
+    if kind is None:
+        try:
+            import jax
+
+            kind = jax.devices()[0].device_kind
+        except Exception:
+            kind = "default"
+    kind = kind.lower()
+    for key, prof in _PROFILES.items():
+        if key != "default" and key in kind:
+            return prof
+    return _PROFILES["default"]
+
+
+@dataclasses.dataclass(frozen=True)
 class KernelConfig:
     """Block shapes + strategy flags for one Pallas LUT-GEMM specialization."""
 
@@ -128,7 +171,7 @@ def is_config_supported(
     x_bytes = config.block_m * config.block_k * 2
     acc_bytes = config.block_m * config.block_n * 4
     vmem = 2 * (packed_bytes + x_bytes) + deq_bytes + acc_bytes
-    return vmem < 24 * 1024 * 1024
+    return vmem < device_profile().vmem_budget
 
 
 def get_candidate_configs(
@@ -230,17 +273,23 @@ def get_kernel_config(
     so each weight byte is touched once and pipelining is deep. Prefill
     (large m) prefers square-ish MXU tiles.
     """
+    prof = device_profile()
     bm = min(_round_up(max(m, 1), 16), 256)
     # Prefer the largest block_n dividing n (bounded), then block_k
     # (measured on v5e W4G64 decode: bn=2048/bk=2048 = 56% roofline vs 53%
-    # at bk=1024; see scripts/kernel_lab.py).
+    # at bk=1024; see scripts/kernel_lab.py). Ladders live in the device
+    # profile so other TPU generations calibrate in one place.
     bn = 512
-    for cand in (2048, 1024, 512, 256, 128):
+    for cand in prof.bn_ladder:
         if n % cand == 0:
             bn = cand
             break
     bk = 512
-    bk_prefs = (2048, 1024, 512, 256) if bm <= 64 else (1024, 512, 256)
+    bk_prefs = (
+        prof.bk_ladder_decode
+        if bm <= prof.group_acc_max_bm
+        else prof.bk_ladder_prefill
+    )
     for cand in bk_prefs:
         if k % cand == 0 and is_config_supported(
             KernelConfig(block_m=bm, block_n=bn, block_k=cand),

@@ -75,6 +75,13 @@ _WRAP_VERIFIED_KINDS = ("v5 lite", "v5e")
 
 
 @functools.lru_cache(maxsize=1)
+def _group_acc_max_bm() -> int:
+    from flute_tpu.ops.kernel_config import device_profile
+
+    return device_profile().group_acc_max_bm
+
+
+@functools.lru_cache(maxsize=1)
 def _hw_wrap_ok() -> bool:
     """True when the attached device's gather is known to hw-wrap indices."""
     try:
@@ -609,8 +616,9 @@ def _lut_qgemm_2d(
         # the interpreter (which does not emulate the wrap)
         wrap=not interpret and _hw_wrap_ok(),
         # group-scaled accumulation wins when the MXU is latency-tolerant
-        # (decode); weight-side scaling wins at prefill M (deep-K matmuls)
-        group_acc=bm <= 64,
+        # (decode); weight-side scaling wins at prefill M (deep-K matmuls);
+        # threshold lives in the device profile (v5e-calibrated)
+        group_acc=bm <= _group_acc_max_bm(),
         wide3=wide3,
     )
 
