@@ -138,3 +138,20 @@ def test_pytree_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(y1, np.float32), np.asarray(y2, np.float32)
     )
+
+
+def test_w3_wide_model_matches_fake_quant(tiny):
+    """Full-model forward through the wide 3-bit kernel path (the r2
+    default layout) must match kernel-faithful fake quantization."""
+    config, params = tiny
+    qparams = llama.quantize_model(params, num_bits=3, group_size=64)
+    # confirm the wide layout is actually in play
+    assert len(qparams["layers"][0]["q"].planes) == 1
+    fparams = _fake_quant_params(params, 3, 64)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    cq = llama.init_cache(config, 1, 8)
+    cf = llama.init_cache(config, 1, 8)
+    lq, _ = llama.forward(qparams, config, tokens, cq, jnp.int32(0))
+    lf, _ = llama.forward(fparams, config, tokens, cf, jnp.int32(0))
+    denom = max(np.abs(np.asarray(lf)).max(), 1e-6)
+    assert np.abs(np.asarray(lq) - np.asarray(lf)).max() / denom < BF16_RTOL
