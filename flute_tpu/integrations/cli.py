@@ -52,36 +52,28 @@ def _cmd_quantize(args):
 
 
 def _cmd_import_flute(args):
-    """Convert a reference-FLUTE (CUDA) checkpoint into flute-tpu format."""
-    from flute_tpu.integrations.flute_format import load_reference_checkpoint
-
-    out = load_reference_checkpoint(
-        args.model_dir,
-        tile_p=args.tile_p,
-        template_id=args.template_id,
+    """Convert a reference-FLUTE (CUDA) checkpoint into a directly servable
+    flute-tpu model checkpoint."""
+    from flute_tpu.integrations.flute_format import (
+        load_reference_checkpoint,
+        reference_to_model_checkpoint,
     )
-    n_layers = sum(1 for v in out.values() if isinstance(v, dict) and "planes" in v)
-    print(f"converted {n_layers} quantized layers from {args.model_dir}")
+
     if args.output_dir:
-        import numpy as np
-
-        from flute_tpu.integrations.checkpoint import StreamingWriter
-
-        w = StreamingWriter(args.output_dir)
-        bits = group = None
-        for name, v in out.items():
-            tree_path = name.replace(".", "/")
-            if isinstance(v, dict) and "planes" in v:
-                bits, group = v["num_bits"], v["group_size"]
-                w.add_quantized(
-                    tree_path, v["planes"], v["scales"], v["table"],
-                    num_bits=bits, group_size=group,
-                )
-            else:
-                w.add_array(tree_path, np.asarray(v))
-        w.finish(model_config={"source": args.model_dir, "imported": True},
-                 num_bits=bits, group_size=group)
-        print(f"wrote {args.output_dir}")
+        n = reference_to_model_checkpoint(
+            args.model_dir, args.output_dir,
+            tile_p=args.tile_p, template_id=args.template_id,
+        )
+        print(
+            f"converted {n} quantized layers from {args.model_dir} -> "
+            f"{args.output_dir} (servable: cli generate/serve --checkpoint)"
+        )
+    else:
+        out = load_reference_checkpoint(
+            args.model_dir, tile_p=args.tile_p, template_id=args.template_id
+        )
+        n = sum(1 for v in out.values() if isinstance(v, dict) and "planes" in v)
+        print(f"converted {n} quantized layers from {args.model_dir} (dry run)")
 
 
 def _cmd_generate(args):

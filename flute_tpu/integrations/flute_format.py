@@ -308,6 +308,103 @@ def read_flute_config(model_dir: str) -> dict:
     return cfg
 
 
+_HF_LAYER_KEYS = {
+    "input_layernorm": ("attn_norm", False),
+    "self_attn.q_proj": ("q", True),
+    "self_attn.k_proj": ("k", True),
+    "self_attn.v_proj": ("v", True),
+    "self_attn.o_proj": ("o", True),
+    "post_attention_layernorm": ("mlp_norm", False),
+    "mlp.gate_proj": ("gate", True),
+    "mlp.up_proj": ("up", True),
+    "mlp.down_proj": ("down", True),
+}
+
+
+def reference_to_model_checkpoint(
+    model_dir: str,
+    output_dir: str,
+    *,
+    tile_p: Optional[int] = None,
+    template_id: Optional[int] = None,
+) -> int:
+    """Convert a reference-FLUTE Llama checkpoint into a *directly servable*
+    flute-tpu model checkpoint: HF module names map into the flute-tpu
+    params layout (``layers/<i>/<q|k|v|o|gate|up|down>``), so the output
+    loads with ``load_quantized_model`` and runs in the serving engines —
+    the complete migration path from the reference ecosystem
+    (role of reference huggingface.py:327-357 from_pretrained).
+
+    Returns the number of quantized layers converted.
+    """
+    import shutil
+
+    import ml_dtypes
+
+    from flute_tpu.integrations.checkpoint import StreamingWriter
+
+    converted = load_reference_checkpoint(
+        model_dir, tile_p=tile_p, template_id=template_id
+    )
+    writer = StreamingWriter(output_dir)
+    bits = group = None
+    n_layers = 0
+    saw_lm_head = False
+
+    def as_bf16(a):
+        if a.dtype == np.uint16:
+            a = a.view(ml_dtypes.bfloat16)
+        return np.asarray(a, np.float32).astype(ml_dtypes.bfloat16)
+
+    for name, val in sorted(converted.items()):
+        is_q = isinstance(val, dict) and "planes" in val
+        if name == "model.embed_tokens.weight":
+            writer.add_array("embed", as_bf16(val))
+        elif name == "model.norm.weight":
+            writer.add_array("final_norm", as_bf16(val))
+        elif name == "lm_head.weight":
+            saw_lm_head = True
+            writer.add_array(
+                "lm_head", np.ascontiguousarray(as_bf16(val).T)
+            )
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            li, sub = rest.split(".", 1)
+            sub = sub[: -len(".weight")] if sub.endswith(".weight") else sub
+            if sub not in _HF_LAYER_KEYS:
+                continue
+            key, is_linear = _HF_LAYER_KEYS[sub]
+            if is_linear:
+                if not is_q:
+                    raise ValueError(f"expected quantized tensors at {name}")
+                bits, group = val["num_bits"], val["group_size"]
+                n_layers += 1
+                writer.add_quantized(
+                    f"layers/{li}/{key}",
+                    val["planes"],
+                    np.asarray(val["scales"], np.float32).astype(
+                        ml_dtypes.bfloat16
+                    ),
+                    val["table"],
+                    num_bits=bits,
+                    group_size=group,
+                )
+            else:
+                writer.add_array(f"layers/{li}/{key}", as_bf16(val))
+    if not saw_lm_head:
+        writer.add_none("lm_head")
+    writer.finish(
+        model_config={"source": model_dir, "imported": "flute-reference"},
+        num_bits=bits,
+        group_size=group,
+    )
+    for fname in ("config.json", "tokenizer.json", "tokenizer_config.json"):
+        src = os.path.join(model_dir, fname)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(output_dir, fname))
+    return n_layers
+
+
 def load_reference_checkpoint(
     model_dir: str,
     *,

@@ -184,3 +184,101 @@ def test_load_reference_checkpoint(tmp_path):
         json.dump({"num_bits": bits, "group_size": g}, f)
     with pytest.raises(ValueError, match="tileP"):
         flute_format.load_reference_checkpoint(str(tmp_path))
+
+
+def test_reference_to_servable_model(tmp_path):
+    """Full migration: a reference-format Llama checkpoint (HF module
+    names + int16 [P,K] weights) converts into a flute-tpu model
+    checkpoint that loads and runs — with dequantized weights identical
+    to direct quantization of the same codes."""
+    import dataclasses
+
+    from safetensors.numpy import save_file
+
+    from flute_tpu.integrations.huggingface import load_quantized_model
+    from flute_tpu.models import llama
+    from flute_tpu.quantize import nf
+    from flute_tpu.serving import Engine
+
+    config = dataclasses.replace(
+        llama.LlamaConfig.tiny(), rope_scaling_factor=None
+    )
+    params = llama.init_params(config, rng=0)
+    bits, g, tid = 4, 64, 3  # tileP 64
+
+    # build the reference checkpoint: NF-quantize each projection, pack in
+    # the reference layout, store with HF names + reference tensor layout
+    names = {
+        "q": "self_attn.q_proj", "k": "self_attn.k_proj",
+        "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+        "gate": "mlp.gate_proj", "up": "mlp.up_proj", "down": "mlp.down_proj",
+    }
+    tensors = {}
+    codes_by_name = {}
+    for li, layer in enumerate(params["layers"]):
+        p = f"model.layers.{li}."
+        tensors[p + "input_layernorm.weight"] = np.asarray(
+            layer["attn_norm"], np.float32
+        )
+        tensors[p + "post_attention_layernorm.weight"] = np.asarray(
+            layer["mlp_norm"], np.float32
+        )
+        for key, hf in names.items():
+            w = np.asarray(layer[key], np.float32).T  # [out, in]
+            codes, scales, table = nf.nf_quantize_np(w, bits, g)
+            ref_w = flute_format.pack_reference_weight(
+                np.ascontiguousarray(codes.T), bits, template_id=tid
+            )
+            tensors[p + hf + ".weight"] = ref_w
+            tensors[p + hf + ".scales"] = scales.astype(np.float32)
+            tensors[p + hf + ".tables"] = table.astype(np.float32)
+            codes_by_name[f"{li}/{key}"] = (codes, scales, table)
+    tensors["model.embed_tokens.weight"] = np.asarray(params["embed"], np.float32)
+    tensors["model.norm.weight"] = np.asarray(params["final_norm"], np.float32)
+    tensors["lm_head.weight"] = np.ascontiguousarray(
+        np.asarray(params["lm_head"], np.float32).T
+    )
+    src = tmp_path / "ref"
+    out = tmp_path / "converted"
+    src.mkdir()
+    save_file(tensors, str(src / "model.safetensors"))
+    with open(src / "flute_config.json", "w") as f:
+        json.dump({"version": "0.4.2", "num_bits": bits, "group_size": g,
+                   "num_sms": 108}, f)
+    with open(src / "config.json", "w") as f:
+        json.dump({
+            "model_type": "llama", "vocab_size": config.vocab_size,
+            "hidden_size": config.hidden_size,
+            "intermediate_size": config.intermediate_size,
+            "num_hidden_layers": config.num_layers,
+            "num_attention_heads": config.num_heads,
+            "num_key_value_heads": config.num_kv_heads,
+            "head_dim": config.head_dim,
+            "rope_scaling": None, "tie_word_embeddings": False,
+        }, f)
+
+    n = flute_format.reference_to_model_checkpoint(
+        str(src), str(out), template_id=tid
+    )
+    assert n == config.num_layers * 7
+
+    qparams, qconfig, sidecar = load_quantized_model(str(out))
+    assert sidecar["num_bits"] == bits
+
+    # dequantized weights must equal the original codes' dequantization
+    layer0 = qparams["layers"][0]["q"]
+    codes, scales, table = codes_by_name["0/q"]
+    want = lut_gemm.dequantize_codes(
+        jnp.asarray(np.ascontiguousarray(codes.T)),
+        jnp.asarray(np.ascontiguousarray(scales.T), jnp.bfloat16),
+        jnp.asarray(table), jnp.bfloat16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(layer0.dequantize(), np.float32),
+        np.asarray(want, np.float32),
+    )
+
+    # and the model serves
+    eng = Engine(params=qparams, config=qconfig, max_len=16, batch_size=1)
+    toks = eng.generate([[1, 2, 3]], max_new_tokens=3)
+    assert len(toks[0]) == 3
