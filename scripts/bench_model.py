@@ -49,7 +49,11 @@ def build_quantized_8b(
             w = jax.random.normal(sub, (k_in, nc), jnp.bfloat16) * 0.02
             codes, scales = quantize_kn(w)
             del w
-            plane_parts.append(packing.pack_jnp(codes, bits))
+            if bits == 3:
+                # wide single-plane layout (r2 default; 69% roofline)
+                plane_parts.append(packing.pack_w3_wide_jnp(codes))
+            else:
+                plane_parts.append(packing.pack_jnp(codes, bits))
             scale_parts.append(scales)
             del codes
         planes = tuple(
