@@ -257,6 +257,9 @@ def quantize_hf_model_streaming(
     def quant_store(tree_path: str, w_nk: np.ndarray) -> None:
         """NF-quantize an [out, in] dense weight and flush it."""
         n, k = w_nk.shape
+        # round through bf16 first so codes match the in-memory path
+        # (load_hf_params loads at bf16 before quantize_model quantizes)
+        w_nk = w_nk.astype(ml_dtypes.bfloat16).astype(np.float32)
         codes, scales, table = nf.nf_quantize_np(w_nk, num_bits, group_size)
         planes = packing_mod.pack_np(np.ascontiguousarray(codes.T), num_bits)
         cfg = get_kernel_config(example_batch_size, n, k, num_bits, group_size)
