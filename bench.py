@@ -106,6 +106,15 @@ def main():
         f"~{tok_s:.0f} tok/s/chip (GEMM stack only, M={m})",
         file=sys.stderr,
     )
+    # secondary context for readers (stderr; the driver JSON stays W4):
+    # the chain-free 3-bit wide layout is the throughput point on v5e —
+    # 69.2% roofline on the reference shape, full-model 838 tok/s at B=8
+    # vs 562 for W4 (docs/BENCH_NOTES.md)
+    print(
+        "# W3-wide comparison: 170.5 us / 69.2% roofline on N28672 K8192 "
+        "(see docs/BENCH_NOTES.md)",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

@@ -96,6 +96,10 @@ class ContinuousBatchingEngine:
     # Prompts longer than this prefill in fixed-size chunks, bounding
     # per-admission latency and compile count (None = whole-bucket prefill).
     prefill_chunk: Optional[int] = None
+    # Keep the K/V of up to this many recent prompts; admissions whose
+    # prompt extends a cached one splice the prefix and prefill only the
+    # tail (0 = off). Exact: RoPE'd K is position-absolute.
+    prefix_cache_entries: int = 0
     # Called as token_callback(rid, token) after every generated token —
     # the streaming hook the HTTP server uses.
     token_callback: Optional[Callable[[int, int], None]] = None
@@ -143,6 +147,10 @@ class ContinuousBatchingEngine:
         self._cache = self.init_cache(config, self.num_slots, self.max_len)
         self._next_rid = 0
         self._finished: dict[int, list] = {}
+        from collections import OrderedDict
+
+        self._prefix_store: "OrderedDict[tuple, dict]" = OrderedDict()
+        self.prefix_hits = 0
 
     # -- admission ---------------------------------------------------------
 
@@ -215,11 +223,76 @@ class ContinuousBatchingEngine:
             )
         )
 
+    # -- prefix cache ------------------------------------------------------
+
+    def _find_prefix(self, prompt: list):
+        """Longest stored *proper* prefix of ``prompt`` (at least one token
+        must remain to prefill for next-token logits)."""
+        best = None
+        for key in self._prefix_store:
+            if len(key) < len(prompt) and (
+                best is None or len(key) > len(best)
+            ) and tuple(prompt[: len(key)]) == key:
+                best = key
+        return best
+
+    def _store_prefix(self, prompt: list, small_cache: dict, start: int,
+                      plen: int) -> None:
+        key = tuple(prompt)
+        if key in self._prefix_store:
+            self._prefix_store.move_to_end(key)
+            return
+        entry = {
+            kv: [
+                jax.lax.dynamic_slice_in_dim(s, start, plen, axis=2)
+                for s in small_cache[kv]
+            ]
+            for kv in ("k", "v")
+        }
+        self._prefix_store[key] = entry
+        while len(self._prefix_store) > self.prefix_cache_entries:
+            self._prefix_store.popitem(last=False)  # LRU evict
+
+    def _prefill_from_prefix(self, req: _Request, hit: tuple):
+        """Splice the cached prefix K/V and prefill only the tail (RoPE'd
+        K is position-absolute, so reuse at the same positions is exact)."""
+        self.prefix_hits += 1
+        plen = len(req.prompt)
+        p0 = len(hit)
+        rem = plen - p0
+        rb = _bucket(rem)
+        csize = _bucket(max(plen, p0 + rb))
+        small_cache = self.init_cache(self.config, 1, csize)
+        entry = self._prefix_store[hit]
+        self._prefix_store.move_to_end(hit)
+        for kv in ("k", "v"):
+            for li, block in enumerate(entry[kv]):
+                small_cache[kv][li] = jax.lax.dynamic_update_slice(
+                    small_cache[kv][li],
+                    block.astype(small_cache[kv][li].dtype),
+                    (0, 0, 0, 0),
+                )
+        rtoks = np.full((1, rb), self.pad_id, np.int32)
+        rtoks[0, :rem] = req.prompt[p0:]
+        logits, small_cache = self._chunk_fn((csize, rb))(
+            self.params, jnp.asarray(rtoks), small_cache, jnp.int32(p0)
+        )
+        return logits[0, rem - 1], small_cache, plen, 0
+
     def _prefill(self, req: _Request):
-        """Run prefill for one request; returns (last_logits [V], small_cache,
-        plen)."""
+        """Run prefill for one request; returns (last_logits [V],
+        small_cache, plen, start) — ``start`` is the K/V column where the
+        sequence begins inside small_cache (left-pad offset or 0)."""
         plen = len(req.prompt)
         chunk = self.prefill_chunk
+
+        if self.prefix_cache_entries:
+            hit = self._find_prefix(req.prompt)
+            if hit is not None:
+                out = self._prefill_from_prefix(req, hit)
+                self._store_prefix(req.prompt, out[1], out[3], plen)
+                return out
+
         if chunk is None or plen <= chunk:
             bucket = _bucket(plen)
             toks = np.full((1, bucket), self.pad_id, np.int32)
@@ -229,7 +302,10 @@ class ContinuousBatchingEngine:
             last, small_cache = self._prefill_fn(bucket)(
                 self.params, jnp.asarray(toks), small_cache, offsets
             )
-            return last[0], small_cache, plen
+            start = bucket - plen
+            if self.prefix_cache_entries:
+                self._store_prefix(req.prompt, small_cache, start, plen)
+            return last[0], small_cache, plen, start
         # chunked prefill: full chunks at exact positions, right-padded
         # remainder bucket at the tail
         full = (plen // chunk) * chunk
@@ -253,21 +329,18 @@ class ContinuousBatchingEngine:
             last = logits[0, rem - 1]
         else:
             last = logits[0, -1]
-        return last, small_cache, plen
+        if self.prefix_cache_entries:
+            self._store_prefix(req.prompt, small_cache, 0, plen)
+        return last, small_cache, plen, 0
 
     def _admit(self):
         for slot in range(self.num_slots):
             if self._slots[slot] is not None or not self._queue:
                 continue
             req = self._queue.popleft()
-            last_logits, small_cache, plen = self._prefill(req)
+            last_logits, small_cache, plen, start = self._prefill(req)
             # Splice the prefilled K/V into this slot; the slot's sequence
-            # occupies cache columns [0, plen).
-            chunked = (
-                self.prefill_chunk is not None and plen > self.prefill_chunk
-            )
-            # whole-bucket prefill left-pads; chunked prefill starts at 0
-            start = 0 if chunked else small_cache["k"][0].shape[2] - plen
+            # occupies small_cache columns [start, start + plen).
             for key in ("k", "v"):
                 for li, small in enumerate(small_cache[key]):
                     block = jax.lax.dynamic_slice_in_dim(

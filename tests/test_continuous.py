@@ -144,3 +144,34 @@ def test_per_request_sampling_engine(tiny_q):
     g2 = eng2.submit([1, 5, 9], max_new_tokens=6)
     assert out[g] == eng2.run()[g2]
     assert len(out[s1]) == 6 and len(out[s2]) == 6
+
+
+def test_prefix_cache_exact_and_hit_counting(tiny_q):
+    """Prefix caching: a request extending a previously-seen prompt splices
+    the cached K/V and prefills only the tail — outputs identical to the
+    uncached engine; LRU eviction bounds the store."""
+    config, qparams = tiny_q
+    base = [1, 5, 9, 2, 6]
+    prompts = [base, base + [10, 14], base + [10, 14, 3]]
+
+    def run(entries):
+        eng = ContinuousBatchingEngine(
+            params=qparams, config=config, num_slots=1, max_len=64,
+            prefix_cache_entries=entries,
+        )
+        outs = []
+        for p in prompts:
+            rid = eng.submit(p, max_new_tokens=5)
+            outs.append(eng.run()[rid])
+        return outs, eng
+
+    cold, _ = run(0)
+    warm, eng = run(4)
+    assert warm == cold
+    # prompts 2 and 3 extend stored prefixes
+    assert eng.prefix_hits == 2
+    assert len(eng._prefix_store) == 3
+
+    # LRU eviction caps the store
+    _, eng1 = run(1)
+    assert len(eng1._prefix_store) == 1
