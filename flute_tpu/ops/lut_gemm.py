@@ -337,18 +337,23 @@ def _unpack_wide3_payload(
     chunk: int,
     bn: int,
     wrap: bool,
-) -> jnp.ndarray:
+    merge16: bool = True,
+):
     """Wide 3-bit path: extract 6-bit pair fields from the planar 3-word
     groups (see packing.pack_w3_wide_np) and look both sides up with single
     chainless 8-entry gathers — the raw field is the even index (hardware
     mod-8 wrap eats the high bits), one shift gives the odd index.
-    Returns the merged 32-bit payloads [block_k//2, bn]."""
+
+    With ``merge16`` (bf16/f16 compute) returns the merged 32-bit payloads
+    [block_k//2, bn]; otherwise (f32 compute) returns the (even, odd)
+    f32-bit-pattern tensors for explicit row interleaving."""
     op_e = jnp.broadcast_to(tile[:, 0:1], (SUBLANE_TILE, bn))
     op_o = jnp.broadcast_to(tile[:, 1:2], (SUBLANE_TILE, bn))
     cp = chunk // 2
     ntrip = cp // 16
     kc = 3 * ntrip
     out = []
+    out_o = [] if not merge16 else None
     for c in range(block_k // chunk):
         w = words[c * kc:(c + 1) * kc]
         ws = (w[0:ntrip], w[ntrip:2 * ntrip], w[2 * ntrip:])
@@ -366,11 +371,16 @@ def _unpack_wide3_payload(
             for s in range(ntrip // SUBLANE_TILE):
                 sl = pf[s * SUBLANE_TILE:(s + 1) * SUBLANE_TILE]
                 idx_e = sl if wrap else (sl & (SUBLANE_TILE - 1))
-                out.append(
-                    _gather_sublane(op_e, idx_e)
-                    | _gather_sublane(op_o, sl >> 3)
-                )
-    return jnp.concatenate(out, axis=0)
+                ge = _gather_sublane(op_e, idx_e)
+                go = _gather_sublane(op_o, sl >> 3)
+                if merge16:
+                    out.append(ge | go)
+                else:
+                    out.append(ge)
+                    out_o.append(go)
+    if merge16:
+        return jnp.concatenate(out, axis=0)
+    return jnp.concatenate(out, axis=0), jnp.concatenate(out_o, axis=0)
 
 
 def _lut_qgemm_kernel(
@@ -404,12 +414,19 @@ def _lut_qgemm_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     if wide3:
-        if not is16:
-            raise NotImplementedError("wide 3-bit requires a 16-bit dtype")
-        payload32 = _unpack_wide3_payload(
-            plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap
-        )
-        deq = pltpu.bitcast(payload32, out_dtype)
+        if is16:
+            payload32 = _unpack_wide3_payload(
+                plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap
+            )
+            deq = pltpu.bitcast(payload32, out_dtype)
+        else:
+            ve_b, vo_b = _unpack_wide3_payload(
+                plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap,
+                merge16=False,
+            )
+            deq = _interleave_rows(
+                pltpu.bitcast(ve_b, out_dtype), pltpu.bitcast(vo_b, out_dtype)
+            )
         ce = co = None
     else:
         ce, co = _unpack_pair_fields(

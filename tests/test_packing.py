@@ -113,3 +113,23 @@ def test_w3_wide_quantize_linear_default():
     np.testing.assert_array_equal(
         np.asarray(lw(x), np.float32), np.asarray(lc(x), np.float32)
     )
+
+
+def test_w3_wide_f32_compute():
+    """Wide 3-bit with float32 activations (explicit even/odd interleave
+    path) is identity bit-exact."""
+    import jax.numpy as jnp
+
+    from flute_tpu.ops import lut_gemm
+
+    rng = np.random.default_rng(5)
+    k, n, g = 512, 256, 64
+    codes = rng.integers(0, 8, (k, n), dtype=np.int32)
+    planes = [jnp.asarray(p) for p in packing.pack_w3_wide_np(codes)]
+    scales = jnp.asarray(rng.uniform(0.5, 1.5, (k // g, n)), jnp.float32)
+    table = jnp.asarray(np.sort(rng.standard_normal(8)), jnp.float32)
+    y = lut_gemm.lut_qgemm(
+        jnp.eye(k, dtype=jnp.float32), planes, scales, table, num_bits=3
+    )
+    want = lut_gemm.dequantize_codes(jnp.asarray(codes), scales, table, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(want))
