@@ -296,6 +296,43 @@ def convert_reference_tensors(
     return planes, scales_kn, np.asarray(tables, np.float32)
 
 
+def pair_values_from_tables2(
+    tables2: np.ndarray, num_bits: int, *, dtype16: str = "float16"
+) -> np.ndarray:
+    """Decode a reference ``tables2`` buffer (qmap2: [E, E, 2] f16/bf16
+    pairs bit-viewed as f32, reference flute/utils.py:15-33) into a
+    float32 ``pair_values [E, E, 2]`` array — the vector-dequantization
+    grid for ``lut_mode='pair_lut'`` (FLUTE-HIGGS checkpoints store the
+    HIGGS grid here, reference integrations/higgs.py:66-69)."""
+    import ml_dtypes
+
+    e = 2 ** num_bits
+    u32 = np.ascontiguousarray(tables2, dtype=np.float32).view(np.uint32)
+    u32 = u32.reshape(e, e)
+    half = {"float16": np.float16, "bfloat16": ml_dtypes.bfloat16}[dtype16]
+    lo = (u32 & 0xFFFF).astype(np.uint16).view(half).astype(np.float32)
+    hi = (u32 >> 16).astype(np.uint16).view(half).astype(np.float32)
+    # little-endian: memory-order element 0 (the even K row) is the low half
+    return np.stack([lo, hi], axis=-1)
+
+
+def is_vector_tables2(
+    tables2: np.ndarray, tables: np.ndarray, num_bits: int,
+    *, dtype16: str = "float16",
+) -> bool:
+    """True when tables2 encodes a genuine 2-D vector grid rather than the
+    scalar outer product make_qmap2_from_qmap builds (qmap2[i,j] =
+    (qmap[i], qmap[j]))."""
+    pv = pair_values_from_tables2(tables2, num_bits, dtype16=dtype16)
+    t = np.asarray(tables, np.float32)
+    outer0 = np.broadcast_to(t[:, None], pv.shape[:2])
+    outer1 = np.broadcast_to(t[None, :], pv.shape[:2])
+    return not (
+        np.allclose(pv[..., 0], outer0, rtol=1e-2, atol=1e-3)
+        and np.allclose(pv[..., 1], outer1, rtol=1e-2, atol=1e-3)
+    )
+
+
 def read_flute_config(model_dir: str) -> dict:
     """Read the sidecar ``flute_config.json`` the reference writes next to
     quantized checkpoints (reference base.py:356-367, huggingface.py:328-339)."""
@@ -455,7 +492,7 @@ def load_reference_checkpoint(
             tables = tensors[prefix + ".tables"]
             planes, s_kn, table = convert_reference_tensors(
                 val, scales, tables, num_bits, group_size,
-                template_id=template_id,
+                tile_p=tile_p, template_id=template_id,
             )
             out[prefix] = {
                 "planes": planes,
@@ -464,6 +501,13 @@ def load_reference_checkpoint(
                 "num_bits": num_bits,
                 "group_size": group_size,
             }
+            # FLUTE-HIGGS checkpoints carry the vector grid in tables2;
+            # surface it as a pair_values table (lut_mode='pair_lut')
+            t2 = tensors.get(prefix + ".tables2")
+            if t2 is not None and is_vector_tables2(t2, tables, num_bits):
+                out[prefix]["pair_values"] = pair_values_from_tables2(
+                    t2, num_bits
+                )
             done.update(
                 {prefix + ".scales", prefix + ".tables", prefix + ".tables2"}
             )

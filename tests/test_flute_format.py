@@ -282,3 +282,67 @@ def test_reference_to_servable_model(tmp_path):
     eng = Engine(params=qparams, config=qconfig, max_len=16, batch_size=1)
     toks = eng.generate([[1, 2, 3]], max_new_tokens=3)
     assert len(toks[0]) == 3
+
+
+def test_tables2_decode_and_higgs_vector_grid(tmp_path):
+    """FLUTE-HIGGS ingestion: tables2 (f16 pairs bit-viewed as f32) decodes
+    to the pair grid; scalar qmap2 is recognized as non-vector; a vector
+    layer converts with pair_values and dequantizes exactly."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(11)
+    bits, e = 2, 4
+
+    # scalar table's qmap2 (outer product) must NOT be flagged as vector
+    table = np.sort(rng.standard_normal(e)).astype(np.float16)
+    qmap2 = np.empty((e, e, 2), np.float16)
+    for i in range(e):
+        for j in range(e):
+            qmap2[i, j] = (table[i], table[j])
+    t2_scalar = qmap2.view(np.float32)  # [e, e, 1]
+    assert not flute_format.is_vector_tables2(t2_scalar, table, bits)
+
+    # genuine HIGGS grid -> vector
+    grid = rng.standard_normal((e * e, 2)).astype(np.float16)
+    t2_vec = grid.reshape(e, e, 2).view(np.float32)
+    assert flute_format.is_vector_tables2(t2_vec, table, bits)
+    pv = flute_format.pair_values_from_tables2(t2_vec, bits)
+    np.testing.assert_allclose(
+        pv, grid.reshape(e, e, 2).astype(np.float32), rtol=0, atol=0
+    )
+
+    # end-to-end: a reference-format layer carrying a vector grid
+    k, n, g = 256, 512, 64
+    codes = rng.integers(0, e, (k, n), dtype=np.int32)
+    ref_w = flute_format.pack_reference_weight(codes, bits, tile_p=32)
+    scales = np.ones((n, k // g), np.float32)
+    save_file(
+        {
+            "model.layers.0.mlp.up_proj.weight": ref_w,
+            "model.layers.0.mlp.up_proj.scales": scales,
+            "model.layers.0.mlp.up_proj.tables": table.astype(np.float16),
+            "model.layers.0.mlp.up_proj.tables2": np.ascontiguousarray(t2_vec),
+        },
+        str(tmp_path / "model.safetensors"),
+    )
+    with open(tmp_path / "flute_config.json", "w") as f:
+        json.dump({"num_bits": bits, "group_size": g}, f)
+    out = flute_format.load_reference_checkpoint(str(tmp_path), tile_p=32)
+    layer = out["model.layers.0.mlp.up_proj"]
+    assert "pair_values" in layer
+
+    got = lut_gemm.lut_qgemm(
+        jnp.eye(k, dtype=jnp.bfloat16),
+        [jnp.asarray(p) for p in layer["planes"]],
+        jnp.asarray(layer["scales"], jnp.bfloat16),
+        None,
+        num_bits=bits,
+        pair_values=jnp.asarray(layer["pair_values"]),
+    )
+    want = lut_gemm.dequantize_codes_pair(
+        jnp.asarray(codes), jnp.asarray(layer["scales"], jnp.bfloat16),
+        jnp.asarray(layer["pair_values"]), jnp.bfloat16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
