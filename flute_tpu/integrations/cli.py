@@ -182,6 +182,8 @@ def _cmd_serve(args):
         params=params, config=config, forward=fwd, init_cache=init_cache,
         num_slots=args.num_slots, max_len=args.max_len,
         eos_id=getattr(tok, "eos_token_id", None),
+        prefill_chunk=args.prefill_chunk,
+        prefix_cache_entries=args.prefix_cache,
     )
     srv = serve(eng, host=args.host, port=args.port, tokenizer=tok)
     print(f"serving on http://{args.host}:{srv.server_address[1]}/v1/completions")
@@ -247,6 +249,10 @@ def main(argv=None):
     s.add_argument("--num-slots", type=int, default=8)
     s.add_argument("--max-len", type=int, default=2048)
     s.add_argument("--retune", action="store_true")
+    s.add_argument("--prefill-chunk", type=int, default=None,
+                   help="chunked prefill admission (bounds per-admission latency)")
+    s.add_argument("--prefix-cache", type=int, default=0,
+                   help="keep K/V of up to N recent prompts for prefix reuse")
     s.set_defaults(fn=_cmd_serve)
 
     imp = sub.add_parser(
