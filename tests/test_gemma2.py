@@ -90,3 +90,22 @@ def test_generation_via_engine(tiny):
     assert len(out) == 2 and all(len(o) == 5 for o in out)
     out2 = eng.generate([[1, 5, 9], [2, 6]], max_new_tokens=5)
     assert out == out2
+
+
+def test_gemma2_fused_matches_unfused():
+    """Fused qkv/gate_up serving layout for Gemma-2 (llama's quantize_model
+    walker reused) matches the unfused quantized model."""
+    config = gemma2.Gemma2Config.tiny()
+    params = gemma2.init_params(config, rng=5)
+    q_plain = gemma2.quantize_model(params, num_bits=4, group_size=64, chunk=128)
+    q_fused = gemma2.quantize_model(
+        params, num_bits=4, group_size=64, chunk=128, fuse=True
+    )
+    assert "qkv" in q_fused["layers"][0] and "gate_up" in q_fused["layers"][0]
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    c1 = gemma2.init_cache(config, 1, 8)
+    c2 = gemma2.init_cache(config, 1, 8)
+    l1, _ = gemma2.forward(q_plain, config, tokens, c1, jnp.int32(0))
+    l2, _ = gemma2.forward(q_fused, config, tokens, c2, jnp.int32(0))
+    denom = max(np.abs(np.asarray(l1)).max(), 1e-6)
+    assert np.abs(np.asarray(l1) - np.asarray(l2)).max() / denom < 1.1e-2
