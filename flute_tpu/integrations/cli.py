@@ -178,12 +178,25 @@ def _cmd_serve(args):
         tok = AutoTokenizer.from_pretrained(args.checkpoint)
     except Exception:
         pass
+    mesh = None
+    if args.tp > 1:
+        from flute_tpu.parallel import (
+            make_mesh,
+            permute_fused_params,
+            validate_tp,
+        )
+
+        validate_tp(params, config, tp=args.tp)
+        params = permute_fused_params(params, config, tp=args.tp)
+        mesh = make_mesh(tp=args.tp, dp=1)
     eng = ContinuousBatchingEngine(
         params=params, config=config, forward=fwd, init_cache=init_cache,
         num_slots=args.num_slots, max_len=args.max_len,
         eos_id=getattr(tok, "eos_token_id", None),
         prefill_chunk=args.prefill_chunk,
         prefix_cache_entries=args.prefix_cache,
+        prefix_block=args.prefix_block,
+        mesh=mesh,
     )
     srv = serve(eng, host=args.host, port=args.port, tokenizer=tok)
     print(f"serving on http://{args.host}:{srv.server_address[1]}/v1/completions")
@@ -252,7 +265,13 @@ def main(argv=None):
     s.add_argument("--prefill-chunk", type=int, default=None,
                    help="chunked prefill admission (bounds per-admission latency)")
     s.add_argument("--prefix-cache", type=int, default=0,
-                   help="keep K/V of up to N recent prompts for prefix reuse")
+                   help="keep K/V of up to N recent prompt BLOCKS for "
+                        "prefix reuse (LRU)")
+    s.add_argument("--prefix-block", type=int, default=64,
+                   help="prefix-cache block size in tokens")
+    s.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (devices on the mesh tp axis); "
+                        "fused checkpoints are rank-major permuted on load")
     s.set_defaults(fn=_cmd_serve)
 
     imp = sub.add_parser(

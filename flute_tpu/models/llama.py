@@ -121,6 +121,36 @@ def apply_linear(layer, x: jax.Array) -> jax.Array:
     )
 
 
+def split_fused_qkv(
+    qkv: jax.Array, num_heads: int, num_kv_heads: int, head_dim: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Split a fused qkv projection output [B, T, W] into (q, k, v) heads.
+
+    Local-shape-based: under tensor parallelism the fused layer is stored
+    rank-major ([q_r | k_r | v_r] per rank — see
+    :func:`flute_tpu.parallel.permute_fused_params`, the analogue of the
+    reference's fused-partition shard metadata,
+    flute/integrations/vllm_utils.py:119-226), so the local width is
+    (qdim + 2*kvdim) / tp and every member width scales by the same factor.
+    With tp=1 this is the plain global split.
+    """
+    b, t, w = qkv.shape
+    d = head_dim
+    total = (num_heads + 2 * num_kv_heads) * d
+    f, rem = divmod(total, w)
+    if rem or num_heads % f or num_kv_heads % f:
+        raise ValueError(
+            f"fused qkv width {w} is not a 1/tp slice of {total} "
+            f"(heads {num_heads}/{num_kv_heads} must divide by tp)"
+        )
+    qd = num_heads * d // f
+    kvd = num_kv_heads * d // f
+    q = qkv[..., :qd].reshape(b, t, -1, d)
+    k = qkv[..., qd:qd + kvd].reshape(b, t, -1, d)
+    v = qkv[..., qd + kvd:].reshape(b, t, -1, d)
+    return q, k, v
+
+
 def _rope_inv_freq(config: LlamaConfig) -> np.ndarray:
     d = config.head_dim
     inv = 1.0 / (config.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
@@ -266,13 +296,12 @@ def _block(
     h = rms_norm(x, params["attn_norm"], config.rms_norm_eps)
     if "qkv" in params:
         # fused projection (one kernel launch; role of vLLM's
-        # QKVParallelLinear in the reference serving stack)
-        qdim = config.num_heads * d
-        kvdim = config.num_kv_heads * d
+        # QKVParallelLinear in the reference serving stack); the split is
+        # local-shape-based so it works unsharded and inside shard_map
         qkv = apply_linear(params["qkv"], h)
-        q = qkv[..., :qdim].reshape(b, t, -1, d)
-        k = qkv[..., qdim:qdim + kvdim].reshape(b, t, -1, d)
-        v = qkv[..., qdim + kvdim:].reshape(b, t, -1, d)
+        q, k, v = split_fused_qkv(
+            qkv, config.num_heads, config.num_kv_heads, d
+        )
     else:
         q = apply_linear(params["q"], h).reshape(b, t, -1, d)
         k = apply_linear(params["k"], h).reshape(b, t, -1, d)

@@ -96,15 +96,41 @@ class ContinuousBatchingEngine:
     # Prompts longer than this prefill in fixed-size chunks, bounding
     # per-admission latency and compile count (None = whole-bucket prefill).
     prefill_chunk: Optional[int] = None
-    # Keep the K/V of up to this many recent prompts; admissions whose
-    # prompt extends a cached one splice the prefix and prefill only the
-    # tail (0 = off). Exact: RoPE'd K is position-absolute.
+    # Block-granular exact prefix cache: K/V of complete ``prefix_block``-
+    # token blocks of recent prompts are kept (up to this many blocks,
+    # LRU); an admission splices the longest contiguous run of cached
+    # blocks and prefills only the rest, so prompts sharing a system
+    # prefix but diverging later still reuse the shared blocks (0 = off).
+    # Exact: RoPE'd K is position-absolute, keys are raw token tuples
+    # (no hash collisions). Role of vLLM's block-hash prefix caching.
     prefix_cache_entries: int = 0
+    prefix_block: int = 64
     # Called as token_callback(rid, token) after every generated token —
     # the streaming hook the HTTP server uses.
     token_callback: Optional[Callable[[int, int], None]] = None
+    # Tensor-parallel serving (see Engine.mesh): a Mesh with a "tp" axis
+    # shard_maps every compiled step; params get sharded in __post_init__.
+    mesh: Any = None
+    params_specs: Any = None
 
     def __post_init__(self):
+        if self.mesh is not None:
+            from flute_tpu.parallel import (
+                llama_partition_specs,
+                shard_params,
+                tp_model_forward,
+            )
+
+            if self.params_specs is None:
+                self.params_specs = llama_partition_specs(self.params)
+            self.params = shard_params(self.params, self.mesh, self.params_specs)
+            # every compiled step (decode, prefill buckets, chunk fns)
+            # closes over self.forward — swap in the TP wrapper before any
+            # of them are built
+            self.forward = tp_model_forward(
+                self.config, self.mesh, self.params_specs,
+                base_forward=self.forward,
+            )
         fwd = self.forward
         config = self.config
 
@@ -145,12 +171,26 @@ class ContinuousBatchingEngine:
         self._top_p = np.ones((self.num_slots,), np.float32)
         self._seeds = np.zeros((self.num_slots,), np.int32)
         self._cache = self.init_cache(config, self.num_slots, self.max_len)
+        if self.mesh is not None:
+            # place the slot cache on the mesh up front (heads over tp) so
+            # the donated decode cache is in its steady-state layout from
+            # step one instead of resharding on first entry
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            leaf = NamedSharding(self.mesh, P(None, "tp", None, None))
+            self._cache = jax.tree.map(
+                lambda a: jax.device_put(a, leaf), self._cache
+            )
         self._next_rid = 0
         self._finished: dict[int, list] = {}
         from collections import OrderedDict
 
+        # key = tuple(prompt[:i*prefix_block]) -> K/V of block i only
+        # (positions [(i-1)*B, i*B)); a lookup walks i = 1, 2, ... with
+        # O(1) dict probes and splices the contiguous run from position 0
         self._prefix_store: "OrderedDict[tuple, dict]" = OrderedDict()
-        self.prefix_hits = 0
+        self.prefix_hits = 0  # requests that reused >= 1 cached block
+        self.prefix_block_hits = 0  # total blocks spliced
 
     # -- admission ---------------------------------------------------------
 
@@ -225,53 +265,68 @@ class ContinuousBatchingEngine:
 
     # -- prefix cache ------------------------------------------------------
 
-    def _find_prefix(self, prompt: list):
-        """Longest stored *proper* prefix of ``prompt`` (at least one token
-        must remain to prefill for next-token logits)."""
-        best = None
-        for key in self._prefix_store:
-            if len(key) < len(prompt) and (
-                best is None or len(key) > len(best)
-            ) and tuple(prompt[: len(key)]) == key:
-                best = key
-        return best
+    def _find_prefix(self, prompt: list) -> list:
+        """Longest contiguous run of cached blocks covering a *proper*
+        prefix of ``prompt`` (at least one token must remain to prefill for
+        next-token logits). O(1) dict probe per block."""
+        bs = self.prefix_block
+        nblocks = (len(prompt) - 1) // bs
+        hit = []
+        for i in range(1, nblocks + 1):
+            entry = self._prefix_store.get(tuple(prompt[: i * bs]))
+            if entry is None:
+                break  # splice must be contiguous from position 0
+            hit.append(entry)
+        return hit
 
     def _store_prefix(self, prompt: list, small_cache: dict, start: int,
                       plen: int) -> None:
-        key = tuple(prompt)
-        if key in self._prefix_store:
-            self._prefix_store.move_to_end(key)
-            return
-        entry = {
-            kv: [
-                jax.lax.dynamic_slice_in_dim(s, start, plen, axis=2)
-                for s in small_cache[kv]
-            ]
-            for kv in ("k", "v")
-        }
-        self._prefix_store[key] = entry
-        while len(self._prefix_store) > self.prefix_cache_entries:
-            self._prefix_store.popitem(last=False)  # LRU evict
+        """Store every complete block of the prompt not already cached
+        (small_cache holds the prompt's K/V at columns [start, start+plen),
+        positions 0-based)."""
+        bs = self.prefix_block
+        for i in range(1, plen // bs + 1):
+            key = tuple(prompt[: i * bs])
+            if key in self._prefix_store:
+                self._prefix_store.move_to_end(key)
+                continue
+            entry = {
+                kv: [
+                    jax.lax.dynamic_slice_in_dim(
+                        s, start + (i - 1) * bs, bs, axis=2
+                    )
+                    for s in small_cache[kv]
+                ]
+                for kv in ("k", "v")
+            }
+            self._prefix_store[key] = entry
+            while len(self._prefix_store) > self.prefix_cache_entries:
+                self._prefix_store.popitem(last=False)  # LRU evict
 
-    def _prefill_from_prefix(self, req: _Request, hit: tuple):
-        """Splice the cached prefix K/V and prefill only the tail (RoPE'd
-        K is position-absolute, so reuse at the same positions is exact)."""
+    def _prefill_from_prefix(self, req: _Request, hit: list):
+        """Splice the cached block run and prefill only the remainder
+        (RoPE'd K is position-absolute, so reuse at the same positions is
+        exact)."""
         self.prefix_hits += 1
+        self.prefix_block_hits += len(hit)
+        bs = self.prefix_block
         plen = len(req.prompt)
-        p0 = len(hit)
+        p0 = len(hit) * bs
         rem = plen - p0
         rb = _bucket(rem)
         csize = _bucket(max(plen, p0 + rb))
         small_cache = self.init_cache(self.config, 1, csize)
-        entry = self._prefix_store[hit]
-        self._prefix_store.move_to_end(hit)
-        for kv in ("k", "v"):
-            for li, block in enumerate(entry[kv]):
-                small_cache[kv][li] = jax.lax.dynamic_update_slice(
-                    small_cache[kv][li],
-                    block.astype(small_cache[kv][li].dtype),
-                    (0, 0, 0, 0),
-                )
+        for bi, entry in enumerate(hit):
+            self._prefix_store.move_to_end(
+                tuple(req.prompt[: (bi + 1) * bs])
+            )
+            for kv in ("k", "v"):
+                for li, block in enumerate(entry[kv]):
+                    small_cache[kv][li] = jax.lax.dynamic_update_slice(
+                        small_cache[kv][li],
+                        block.astype(small_cache[kv][li].dtype),
+                        (0, 0, bi * bs, 0),
+                    )
         rtoks = np.full((1, rb), self.pad_id, np.int32)
         rtoks[0, :rem] = req.prompt[p0:]
         logits, small_cache = self._chunk_fn((csize, rb))(
@@ -288,7 +343,7 @@ class ContinuousBatchingEngine:
 
         if self.prefix_cache_entries:
             hit = self._find_prefix(req.prompt)
-            if hit is not None:
+            if hit:
                 out = self._prefill_from_prefix(req, hit)
                 self._store_prefix(req.prompt, out[1], out[3], plen)
                 return out

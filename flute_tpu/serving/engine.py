@@ -72,9 +72,16 @@ class Engine:
     max_len: int = 1024
     batch_size: int = 8
     pad_id: int = 0
+    # Tensor-parallel serving: a Mesh with a "tp" axis turns every compiled
+    # step into a shard_map TP program (params get sharded here; the step
+    # contract is unchanged). Role of the reference's vLLM TP workers
+    # (flute/integrations/vllm_utils.py). Fused qkv/gate_up params must be
+    # rank-major permuted first (parallel.permute_fused_params).
+    mesh: Any = None
+    params_specs: Any = None
 
     def __post_init__(self):
-        fwd = self.forward
+        fwd = self._setup_forward()
         config = self.config
 
         # the KV cache is donated: each step updates it in place on device
@@ -90,6 +97,24 @@ class Engine:
 
         self._prefill = prefill_step
         self._decode = decode_step
+
+    def _setup_forward(self) -> Callable:
+        """The model forward the compiled steps close over; under a mesh it
+        is the shard_map TP wrapper and params are placed onto the mesh."""
+        if self.mesh is None:
+            return self.forward
+        from flute_tpu.parallel import (
+            llama_partition_specs,
+            shard_params,
+            tp_model_forward,
+        )
+
+        if self.params_specs is None:
+            self.params_specs = llama_partition_specs(self.params)
+        self.params = shard_params(self.params, self.mesh, self.params_specs)
+        return tp_model_forward(
+            self.config, self.mesh, self.params_specs, base_forward=self.forward
+        )
 
     def _new_cache(self):
         return self.init_cache(self.config, self.batch_size, self.max_len)

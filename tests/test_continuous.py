@@ -148,8 +148,8 @@ def test_per_request_sampling_engine(tiny_q):
 
 def test_prefix_cache_exact_and_hit_counting(tiny_q):
     """Prefix caching: a request extending a previously-seen prompt splices
-    the cached K/V and prefills only the tail — outputs identical to the
-    uncached engine; LRU eviction bounds the store."""
+    the cached K/V blocks and prefills only the tail — outputs identical to
+    the uncached engine; LRU eviction bounds the store (in blocks)."""
     config, qparams = tiny_q
     base = [1, 5, 9, 2, 6]
     prompts = [base, base + [10, 14], base + [10, 14, 3]]
@@ -157,7 +157,7 @@ def test_prefix_cache_exact_and_hit_counting(tiny_q):
     def run(entries):
         eng = ContinuousBatchingEngine(
             params=qparams, config=config, num_slots=1, max_len=64,
-            prefix_cache_entries=entries,
+            prefix_cache_entries=entries, prefix_block=4,
         )
         outs = []
         for p in prompts:
@@ -168,10 +168,40 @@ def test_prefix_cache_exact_and_hit_counting(tiny_q):
     cold, _ = run(0)
     warm, eng = run(4)
     assert warm == cold
-    # prompts 2 and 3 extend stored prefixes
+    # prompts 2 and 3 reuse the first 4-token block of the base prompt
     assert eng.prefix_hits == 2
-    assert len(eng._prefix_store) == 3
+    assert eng.prefix_block_hits == 2
+    # stored blocks: base[:4] and (base+[10,14,3])[:8]
+    assert len(eng._prefix_store) == 2
 
-    # LRU eviction caps the store
+    # LRU eviction caps the store (in blocks)
     _, eng1 = run(1)
     assert len(eng1._prefix_store) == 1
+
+
+def test_prefix_cache_shared_prefix_divergent_tails(tiny_q):
+    """Two prompts sharing a system prefix but with different tails must
+    BOTH hit the shared blocks (the r2 whole-prompt design re-prefilled
+    everything when tails diverged)."""
+    config, qparams = tiny_q
+    system = [7, 3, 11, 2, 9, 4, 13, 1]  # two 4-token blocks
+    pa = system + [21, 22, 23]
+    pb = system + [31, 32]
+
+    def run(entries):
+        eng = ContinuousBatchingEngine(
+            params=qparams, config=config, num_slots=1, max_len=64,
+            prefix_cache_entries=entries, prefix_block=4,
+        )
+        outs = []
+        for p in (system, pa, pb):
+            rid = eng.submit(p, max_new_tokens=5)
+            outs.append(eng.run()[rid])
+        return outs, eng
+
+    cold, _ = run(0)
+    warm, eng = run(8)
+    assert warm == cold
+    # pa and pb each spliced both shared system blocks
+    assert eng.prefix_hits == 2
+    assert eng.prefix_block_hits == 4

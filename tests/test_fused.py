@@ -34,8 +34,16 @@ def test_fused_matches_unfused(tiny):
     assert np.abs(np.asarray(l1) - np.asarray(l2)).max() / denom < 1.1e-2
 
 
-def test_fused_rejected_by_tp(tiny):
+def test_fused_tp_validation(tiny):
+    """Fused layers are TP-shardable (via rank-major column permutation)
+    when every member's per-rank slice stays 128-lane aligned."""
     config, params = tiny
     q_fused = llama.quantize_model(params, 4, 64, chunk=128, fuse=True)
-    with pytest.raises(ValueError, match="fused"):
-        validate_tp(q_fused, config, tp=2)
+    validate_tp(q_fused, config, tp=2)  # kv slice = 128 columns: ok
+    import dataclasses
+
+    # head_dim=64 would make the kv member 128 wide -> 64-column slices at
+    # tp=2: below lane width, must be rejected before any sharding happens
+    narrow = dataclasses.replace(config, head_dim=64)
+    with pytest.raises(ValueError, match="128-column"):
+        validate_tp(q_fused, narrow, tp=2)

@@ -122,3 +122,29 @@ def test_per_request_sampling(server):
     code, g2 = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4,
                               "temperature": 0.0})
     assert g1["tokens"] == g2["tokens"]
+
+
+def test_gemma2_server():
+    """The HTTP server is model-agnostic: a Gemma-2 engine (with the
+    quantized tied lm_head) serves completions end-to-end (r2 verdict #8)."""
+    from flute_tpu.models import gemma2
+
+    config = gemma2.Gemma2Config.tiny()
+    params = gemma2.init_params(config, rng=0)
+    qparams = gemma2.quantize_model(
+        params, num_bits=4, group_size=64, quantize_lm_head=True
+    )
+    eng = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=2, max_len=32,
+        forward=gemma2.forward, init_cache=gemma2.init_cache,
+    )
+    srv = serve(eng, port=0)
+    try:
+        code, out = _post(srv, {"prompt": [1, 5, 9], "max_tokens": 4})
+        assert code == 200 and len(out["tokens"]) == 4
+        # greedy determinism through the server
+        code2, out2 = _post(srv, {"prompt": [1, 5, 9], "max_tokens": 4})
+        assert out2["tokens"] == out["tokens"]
+    finally:
+        srv.shutdown()
+        srv.loop.shutdown()
