@@ -174,6 +174,10 @@ def is_config_supported(
     return vmem < device_profile().vmem_budget
 
 
+def _block_divisors(dim: int, align: int, lo: int, hi: int) -> list[int]:
+    return [d for d in range(lo, min(dim, hi) + 1, align) if dim % d == 0]
+
+
 def get_candidate_configs(
     m: int,
     n: int,
@@ -183,13 +187,24 @@ def get_candidate_configs(
 ) -> Iterator[KernelConfig]:
     """Enumerate plausible configs for a shape — the tuner's search space
     (role of the reference's template option grid,
-    flute/codegen_utils.py:89-176)."""
-    block_ms = sorted({max(16, min(_round_up(m, 16), bm)) for bm in (16, 64, 128, 256)})
+    flute/codegen_utils.py:89-176).
+
+    Enumerates every VMEM-legal divisor block (not just powers of two: qkv
+    N=6144 admits bn=3072, down K=14336 admits bk=3584/7168), ordered by a
+    measured heuristic (scripts/kernel_lab3.py r3 sweeps): configs whose
+    grid has >=4 steps pipeline weight DMA properly, and among those larger
+    block_k wins (fewer per-block gather/scale setup repeats); degenerate
+    <4-step grids and very deep >64-step grids rank last.
+    """
+    # bm=16 is kept even for m<=8: on v5e the padded 16-row MXU tile
+    # measured faster than bm=8 on several decode shapes (kernel_lab3 r3)
+    block_ms = sorted(
+        {bm for bm in (8, 16, 64, 128, 256) if bm <= max(16, _round_up(m, 8))}
+    )
+    cands = []
     for bm in block_ms:
-        for bn in (256, 512, 1024, 2048, 4096):
-            if n % bn != 0:
-                continue
-            for bk in (256, 512, 1024, 2048, 4096):
+        for bn in _block_divisors(n, 128, 256, 8192):
+            for bk in _block_divisors(k, 256, 256, 8192):
                 # split_k stays 1: the reference's Stream-K/Split-K exists
                 # to fill idle SMs; on TPU the sequential-K Mosaic pipeline
                 # fills equally well with a smaller block_k, and K-split
@@ -197,7 +212,23 @@ def get_candidate_configs(
                 # "Stream-K ... dissolves").
                 cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk)
                 if is_config_supported(cfg, m, n, k, num_bits, group_size):
-                    yield cfg
+                    steps = (
+                        max(1, _round_up(m, bm) // bm)
+                        * (n // bn)
+                        * (k // bk)
+                    )
+                    cands.append((steps, cfg))
+
+    def rank(item):
+        steps, cfg = item
+        shallow = steps < 4  # too few steps to hide DMA behind compute
+        deep = steps > 64  # per-step overhead dominates
+        # larger block_m last-tie-break: one padded 16-row tile for decode,
+        # full MXU tiles for prefill
+        return (shallow, deep, -cfg.block_k, -cfg.block_n, -cfg.block_m)
+
+    for _, cfg in sorted(cands, key=rank):
+        yield cfg
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -262,6 +293,7 @@ def get_kernel_config(
     k: int,
     num_bits: int,
     group_size: int,
+    dtype=None,
 ) -> KernelConfig:
     """Static heuristic default config (no tuning).
 
@@ -310,7 +342,14 @@ def get_kernel_config(
     if os.environ.get("FLUTE_TPU_NO_TUNED_REGISTRY") != "1":
         from flute_tpu import tune as _tune
 
-        hit = _tune.lookup_packaged(m, n, k, num_bits, group_size)
+        if dtype is None:
+            hit = _tune.lookup_packaged(m, n, k, num_bits, group_size)
+        else:
+            # per-dtype entries (f16 pipelines tune separately); fall back
+            # to the bf16 entry rather than the static heuristic
+            hit = _tune.lookup_packaged(m, n, k, num_bits, group_size, dtype)
+            if hit is None:
+                hit = _tune.lookup_packaged(m, n, k, num_bits, group_size)
         if hit is not None:
             if lut_override is not None and lut_override != hit.lut_mode:
                 hit = dataclasses.replace(hit, lut_mode=lut_override)

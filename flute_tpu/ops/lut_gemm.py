@@ -739,7 +739,7 @@ def lut_qgemm(
         )
 
     if config is None:
-        config = get_kernel_config(m, n, k, num_bits, group_size)
+        config = get_kernel_config(m, n, k, num_bits, group_size, dtype=x.dtype)
     else:
         config = fit_config(config, m, n, k, num_bits, group_size)
     if pair_values is not None and config.lut_mode != "pair_lut":

@@ -144,7 +144,12 @@ def tune_config(
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 2**num_bits, size=(k, n), dtype=np.int32)
-    planes = [jax.device_put(p) for p in packing.pack(codes, num_bits)]
+    # tune the layout production uses: 3-bit ships the wide single-plane
+    # layout by default (nn.py quantize path; docs/KERNEL_NOTES.md r2)
+    planes = [
+        jax.device_put(p)
+        for p in packing.pack(codes, num_bits, wide=(num_bits == 3))
+    ]
     scales_np = rng.uniform(0.5, 1.5, (k // group_size, n)).astype(np.float32)
     table_np = np.sort(rng.standard_normal(2**num_bits)).astype(np.float32)
     x_np = rng.standard_normal((m, k)).astype(np.float32)
@@ -153,15 +158,13 @@ def tune_config(
     x = jnp.asarray(x_np, dtype)
 
     candidates = list(get_candidate_configs(m, n, k, num_bits, group_size))
-    # Prioritize around the heuristic default, cap the sweep.
+    # The enumeration order is the measured-heuristic ranking
+    # (kernel_config.get_candidate_configs); keep the static default in the
+    # pool even when the cap would cut it.
     default = get_kernel_config(m, n, k, num_bits, group_size)
-    candidates.sort(
-        key=lambda c: (
-            c.key() != default.key(),
-            abs(c.block_n - default.block_n) + abs(c.block_k - default.block_k),
-        )
-    )
     candidates = candidates[:max_candidates]
+    if default.key() not in {c.key() for c in candidates}:
+        candidates.append(default)
 
     fns = {}
     timed = []
@@ -180,6 +183,21 @@ def tune_config(
             continue  # unsupported on this chip — skip, like tune.py:160-167
         fns[cfg.key()] = f
         timed.append((t, cfg))
+
+    # Re-measure the screening top 5 best-of-3 at a longer window: single
+    # slope measurements carry +-2-3 pt tunnel noise (r2 verdict weak #1),
+    # enough to swap close candidates.
+    if len(timed) > 1:
+        timed.sort(key=lambda p: p[0])
+        refined = []
+        for t_scr, cfg in timed[:5]:
+            f = fns[cfg.key()]
+            try:
+                t = min(bench_op(f, x, iters=2 * iters) for _ in range(3))
+            except Exception:
+                t = t_scr
+            refined.append((t, cfg))
+        timed = refined + timed[5:]
 
     if not timed:
         _MEMO[key] = default
