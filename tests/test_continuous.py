@@ -31,6 +31,7 @@ def test_more_requests_than_slots(tiny_q):
     assert all(len(v) == 4 for v in out.values())
 
 
+@pytest.mark.slow
 def test_deterministic(tiny_q):
     config, qparams = tiny_q
     prompts = [[1, 5, 9], [2, 6, 10, 14], [3, 7]]
@@ -46,6 +47,7 @@ def test_deterministic(tiny_q):
     assert run() == run()
 
 
+@pytest.mark.slow
 def test_matches_static_engine(tiny_q):
     """Greedy outputs must match the static-batch Engine (same prefill
     math; decode uses vector positions — seed chosen with clear argmax
@@ -65,6 +67,7 @@ def test_matches_static_engine(tiny_q):
     assert got == want
 
 
+@pytest.mark.slow
 def test_eos_stops_early(tiny_q):
     config, qparams = tiny_q
     # find the greedy first token for a prompt, then use it as eos
@@ -83,6 +86,7 @@ def test_eos_stops_early(tiny_q):
     assert out == full[:1]
 
 
+@pytest.mark.slow
 def test_gemma2_continuous_engine():
     """Gemma-2 under the continuous engine: decode passes a [B] position
     vector into gemma2.forward (advisor finding r1 — the pos.ndim==1
@@ -103,6 +107,7 @@ def test_gemma2_continuous_engine():
     assert all(len(v) == 4 for v in out.values())
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches_whole_bucket(tiny_q):
     """Chunked prefill admission must reproduce whole-bucket greedy output
     (same K/V content; junk tail positions are causally masked and
@@ -122,6 +127,7 @@ def test_chunked_prefill_matches_whole_bucket(tiny_q):
     assert run(None) == run(8)
 
 
+@pytest.mark.slow
 def test_per_request_sampling_engine(tiny_q):
     """Mixed greedy + sampled slots in one engine population."""
     from flute_tpu.serving.continuous import SamplingParams
@@ -146,6 +152,7 @@ def test_per_request_sampling_engine(tiny_q):
     assert len(out[s1]) == 6 and len(out[s2]) == 6
 
 
+@pytest.mark.slow
 def test_prefix_cache_exact_and_hit_counting(tiny_q):
     """Prefix caching: a request extending a previously-seen prompt splices
     the cached K/V blocks and prefills only the tail — outputs identical to
@@ -179,6 +186,7 @@ def test_prefix_cache_exact_and_hit_counting(tiny_q):
     assert len(eng1._prefix_store) == 1
 
 
+@pytest.mark.slow
 def test_prefix_cache_shared_prefix_divergent_tails(tiny_q):
     """Two prompts sharing a system prefix but with different tails must
     BOTH hit the shared blocks (the r2 whole-prompt design re-prefilled
@@ -205,3 +213,44 @@ def test_prefix_cache_shared_prefix_divergent_tails(tiny_q):
     # pa and pb each spliced both shared system blocks
     assert eng.prefix_hits == 2
     assert eng.prefix_block_hits == 4
+
+
+def test_prefix_block_store_and_lookup_unit():
+    """Pure-unit coverage of the block prefix cache (fast tier): store,
+    contiguous lookup, proper-prefix rule, and LRU eviction — no engine
+    run, no kernels."""
+    eng = object.__new__(ContinuousBatchingEngine)
+    eng.prefix_block = 4
+    eng.prefix_cache_entries = 3
+    eng.prefix_hits = 0
+    eng.prefix_block_hits = 0
+    from collections import OrderedDict
+
+    eng._prefix_store = OrderedDict()
+
+    prompt = list(range(100, 112))  # 3 complete blocks of 4
+    # fake per-layer K/V: one layer, [B=1, H=1, S, D=2]
+    s = np.arange(1 * 1 * 16 * 2, dtype=np.float32).reshape(1, 1, 16, 2)
+    cache = {"k": [s], "v": [s + 100]}
+    eng._store_prefix(prompt, cache, start=0, plen=12)
+    assert len(eng._prefix_store) == 3
+
+    # stored block i holds K/V columns [(i-1)*bs, i*bs)
+    blk2 = eng._prefix_store[tuple(prompt[:8])]
+    np.testing.assert_array_equal(np.asarray(blk2["k"][0]), s[:, :, 4:8])
+
+    # shared prefix, divergent tail: both blocks covering the shared part hit
+    hit = eng._find_prefix(prompt[:8] + [7, 7, 7])
+    assert len(hit) == 2
+    # proper-prefix rule: a prompt equal to stored blocks leaves >= 1 token
+    hit = eng._find_prefix(prompt[:8])
+    assert len(hit) == 1
+    # contiguity: a missing earlier block stops the splice
+    del eng._prefix_store[tuple(prompt[:4])]
+    assert eng._find_prefix(prompt) == []
+
+    # LRU eviction: capacity 3, inserting 2 more complete blocks evicts oldest
+    p2 = list(range(200, 208))
+    eng._store_prefix(p2, cache, start=0, plen=8)
+    assert len(eng._prefix_store) == 3
+    assert tuple(prompt[:8]) not in eng._prefix_store

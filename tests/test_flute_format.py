@@ -186,6 +186,7 @@ def test_load_reference_checkpoint(tmp_path):
         flute_format.load_reference_checkpoint(str(tmp_path))
 
 
+@pytest.mark.slow
 def test_reference_to_servable_model(tmp_path):
     """Full migration: a reference-format Llama checkpoint (HF module
     names + int16 [P,K] weights) converts into a flute-tpu model

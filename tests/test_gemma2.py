@@ -79,6 +79,7 @@ def test_sliding_window_restricts_attention():
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+@pytest.mark.slow
 def test_generation_via_engine(tiny):
     config, params = tiny
     qparams = gemma2.quantize_model(params, num_bits=4, group_size=64, chunk=128)

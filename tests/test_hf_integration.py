@@ -166,6 +166,7 @@ def test_gemma2_config_and_mapping(tmp_path):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_streaming_quantize_matches_in_memory(tmp_path):
     """quantize_hf_model_streaming must produce a checkpoint whose planes,
     scales and tables are identical to the in-memory quantize path, with

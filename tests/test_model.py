@@ -87,6 +87,7 @@ def test_quantized_linear_forward_matches_dense():
     )
 
 
+@pytest.mark.slow
 def test_greedy_generation_deterministic(tiny):
     config, params = tiny
     qparams = llama.quantize_model(params, num_bits=4, group_size=64)

@@ -39,6 +39,7 @@ def test_native_unpack_roundtrip(lib_available, num_bits):
     np.testing.assert_array_equal(back_numpy, codes)
 
 
+@pytest.mark.slow
 def test_native_throughput_sane(lib_available):
     """Native pack of a 4096x4096 4-bit matrix should beat numpy."""
     import time

@@ -52,6 +52,7 @@ def test_pipelined_forward_matches_monolithic(tiny_q):
     assert np.abs(l_pp - l_1).max() / denom < 1.1e-2
 
 
+@pytest.mark.slow
 def test_pipelined_decode_steps(tiny_q):
     """PP decode: deterministic across runs, and per-step logits track the
     monolithic forward within bf16 tolerance (argmax equality on a random
@@ -88,6 +89,7 @@ def test_pipelined_decode_steps(tiny_q):
     assert np.abs(a[0] - l1).max() / denom < 1.1e-2
 
 
+@pytest.mark.slow
 def test_microbatched_matches_sequential(tiny_q):
     """forward_microbatched must reproduce forward: same logits and same
     per-stage caches (batch rows are independent; microbatching only
@@ -129,6 +131,7 @@ def test_microbatched_matches_sequential(tiny_q):
     )
 
 
+@pytest.mark.slow
 def test_microbatched_resident_caches(tiny_q):
     """Steady-state microbatching: split the caches ONCE, step repeatedly on
     the per-microbatch form (no per-step full-cache slice/concat — r2
@@ -179,6 +182,7 @@ def test_microbatched_resident_caches(tiny_q):
                 )
 
 
+@pytest.mark.slow
 def test_pp_tp_composition(tiny_q):
     """tp×pp (2 stages × tp=2 over 4 virtual devices): the composed model
     must match the monolithic forward — the reference's 405B serving

@@ -124,6 +124,7 @@ def test_per_request_sampling(server):
     assert g1["tokens"] == g2["tokens"]
 
 
+@pytest.mark.slow
 def test_gemma2_server():
     """The HTTP server is model-agnostic: a Gemma-2 engine (with the
     quantized tied lm_head) serves completions end-to-end (r2 verdict #8)."""

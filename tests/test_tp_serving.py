@@ -86,6 +86,7 @@ def test_tp_fused_forward_matches_single_device(tiny_fused):
     assert np.abs(lt - l1).max() / denom < BF16_RTOL
 
 
+@pytest.mark.slow
 def test_engine_tp_fused_matches_single_device(tiny_fused):
     config, qparams = tiny_fused
     prompts = [[5, 9, 2, 7], [11, 3]]
@@ -102,6 +103,7 @@ def test_engine_tp_fused_matches_single_device(tiny_fused):
     assert out1 == out_tp
 
 
+@pytest.mark.slow
 def test_continuous_engine_tp_fused(tiny_fused):
     config, qparams = tiny_fused
     reqs = [([5, 9, 2, 7], 6), ([11, 3], 5), ([1, 2, 3], 4)]
