@@ -212,3 +212,54 @@ def test_pp_tp_composition(tiny_q):
     denom = max(np.abs(l_1).max(), 1e-6)
     assert np.abs(l_pp - l_1).max() / denom < 1.1e-2
     assert np.isfinite(np.asarray(logits_d)).all()
+
+
+def test_microbatched_steady_state_has_no_full_cache_concat(tiny_q):
+    """Resident-cache steady state must not move whole caches: the traced
+    step contains no concatenate producing a full-batch cache-shaped array
+    (the r2 slice+concat form did one per leaf per step) — cache updates
+    are in-place dynamic_update_slice on per-microbatch leaves."""
+    config, qparams = tiny_q
+    pm = PipelinedModel.build(qparams, config, num_stages=2,
+                              devices=jax.devices()[:2])
+    b, s, m = 4, 12, 2
+    caches_mb = split_cache_microbatches(pm.init_cache(b, s), m)
+    tok = jnp.zeros((b, 1), jnp.int32)
+
+    jaxpr = jax.make_jaxpr(
+        lambda t, c: pm.forward_microbatched(t, c, 3, num_microbatches=m)
+    )(tok, caches_mb)
+
+    heads = config.num_kv_heads
+    full_cache_shape = (b, heads, s, config.head_dim)
+
+    def walk(jp):
+        for eqn in jp.eqns:
+            if eqn.primitive.name == "concatenate":
+                for ov in eqn.outvars:
+                    assert tuple(ov.aval.shape) != full_cache_shape, (
+                        "steady-state microbatched step concatenates a "
+                        "full-batch cache leaf"
+                    )
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    walk(sub.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    # and the in-place per-microbatch writes ARE present
+    found = []
+
+    def find_dus(jp):
+        for eqn in jp.eqns:
+            if eqn.primitive.name == "dynamic_update_slice":
+                for ov in eqn.outvars:
+                    if tuple(ov.aval.shape) == (
+                        b // m, heads, s, config.head_dim
+                    ):
+                        found.append(ov)
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    find_dus(sub.jaxpr)
+
+    find_dus(jaxpr.jaxpr)
+    assert found, "expected per-microbatch dynamic_update_slice cache writes"
