@@ -1,4 +1,10 @@
 from flute_tpu.serving.engine import Engine, greedy_generate
 from flute_tpu.serving.continuous import ContinuousBatchingEngine
+from flute_tpu.serving.speculative import SpeculativeEngine
 
-__all__ = ["Engine", "greedy_generate", "ContinuousBatchingEngine"]
+__all__ = [
+    "Engine",
+    "greedy_generate",
+    "ContinuousBatchingEngine",
+    "SpeculativeEngine",
+]

@@ -1,0 +1,216 @@
+"""Speculative decoding: a small draft model proposes, the quantized
+target verifies k proposals in one forward.
+
+Beyond-parity capability (the reference has no serving loop of its own —
+SURVEY §2.2 "vLLM integration"; speculative decoding is the standard
+next step a vLLM user expects, ROADMAP "Serving"). TPU-first design:
+
+  * **Static shapes throughout** — the draft step is a T=1 forward, the
+    verify step a T=k+1 forward; both are jitted once. Per-sequence
+    acceptance raggedness lives in host-side numpy position vectors
+    (``llama.forward`` takes per-slot ``pos`` vectors, the same contract
+    continuous batching uses), never in traced control flow.
+  * **Greedy acceptance**: draft token i is accepted iff it equals the
+    target's argmax at verify position i-1; the first mismatch is
+    replaced by the target's own argmax ("correction token"). The
+    emitted stream is therefore always the target model's greedy
+    choice under its verify forward — a wrong draft can only cost
+    speed, never change output.
+  * **No bonus token on full acceptance**: when all k proposals are
+    accepted we do NOT emit the target's k+1-th token. This keeps the
+    draft cache exactly one token behind the emission point in every
+    case, so both models' next positions are computable per slot with
+    no per-slot catch-up branches (vLLM's scheduler historically made
+    the same trade for the same reason).
+  * **Junk-cache safety**: rejected proposals leave K/V at slots beyond
+    the new position. Every subsequent step writes its K/V *before*
+    attention and the causal mask admits only ``j <= query slot``, so a
+    junk slot is always overwritten before it first becomes attendable
+    — the same argument as chunked prefill
+    (serving/continuous.py chunk contract).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flute_tpu.models import llama
+
+
+@dataclasses.dataclass
+class SpecStats:
+    rounds: int = 0
+    proposed: int = 0
+    accepted: int = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / self.proposed if self.proposed else 0.0
+
+
+@dataclasses.dataclass
+class SpeculativeEngine:
+    """Greedy speculative generation with a draft/target model pair.
+
+    Both models must share the tokenizer/vocab. ``draft_params`` may be a
+    narrower/shallower config, a more aggressively quantized variant of
+    the target (e.g. W2 drafting for W4 — both already live in HBM
+    packed), or even the target itself (for testing: near-total
+    acceptance).
+    """
+
+    target_params: Any
+    target_config: Any
+    draft_params: Any
+    draft_config: Any
+    k: int = 4  # proposals per round
+    forward: Callable = llama.forward
+    init_cache: Callable = llama.init_cache
+    max_len: int = 1024
+    batch_size: int = 8
+    pad_id: int = 0
+
+    def __post_init__(self):
+        if self.k < 1:
+            raise ValueError(f"k must be >= 1, got {self.k}")
+        fwd = self.forward
+        tc, dc = self.target_config, self.draft_config
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill_t(params, tokens, cache, offsets):
+            logits, cache = fwd(params, tc, tokens, cache, jnp.int32(0), offsets)
+            return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill_d(params, tokens, cache, offsets):
+            _, cache = fwd(params, dc, tokens, cache, jnp.int32(0), offsets)
+            return cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def draft_step(params, tok, cache, pos_vec, offsets):
+            logits, cache = fwd(params, dc, tok, cache, pos_vec, offsets)
+            return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def verify_step(params, toks, cache, pos_vec, offsets):
+            # toks [B, k+1]; greedy target token after each input position
+            logits, cache = fwd(params, tc, toks, cache, pos_vec, offsets)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        self._prefill_t = prefill_t
+        self._prefill_d = prefill_d
+        self._draft = draft_step
+        self._verify = verify_step
+        self.stats = SpecStats()
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 32,
+        eos_id: Optional[int] = None,
+    ) -> list[list[int]]:
+        b = self.batch_size
+        if len(prompts) > b:
+            raise ValueError(f"{len(prompts)} prompts > batch_size {b}")
+        k = self.k
+        plen = max(len(p) for p in prompts)
+        bucket = 16
+        while bucket < plen:
+            bucket *= 2
+        if bucket + max_new_tokens + k + 1 <= self.max_len:
+            plen = bucket
+        toks = np.full((b, plen), self.pad_id, np.int32)
+        offsets = np.full((b,), plen, np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, plen - len(p):] = p
+            offsets[i] = plen - len(p)
+        offsets_j = jnp.asarray(offsets)
+
+        t_cache = self.init_cache(self.target_config, b, self.max_len)
+        d_cache = self.init_cache(self.draft_config, b, self.max_len)
+        first, t_cache = self._prefill_t(
+            self.target_params, jnp.asarray(toks), t_cache, offsets_j
+        )
+        d_cache = self._prefill_d(
+            self.draft_params, jnp.asarray(toks), d_cache, offsets_j
+        )
+
+        out = [list() for _ in range(b)]
+        done = np.zeros((b,), bool)
+        done[len(prompts):] = True
+        # last emitted (not yet consumed) token per slot, and the cache
+        # slot it will be written to on the next forward of each model
+        last = np.asarray(first).copy()  # [B]
+        for i in range(len(prompts)):
+            if eos_id is not None and int(last[i]) == eos_id:
+                done[i] = True
+            elif not done[i]:
+                out[i].append(int(last[i]))
+        t_pos = np.full((b,), plen, np.int32)
+        d_pos = np.full((b,), plen, np.int32)
+
+        while not done.all():
+            # cache-capacity guard: a verify round writes through pos+k
+            if int(t_pos.max()) + k + 1 > self.max_len:
+                break
+
+            # -- draft phase: k sequential T=1 greedy proposals ----------
+            proposals = np.zeros((b, k), np.int32)
+            tok = jnp.asarray(last[:, None])
+            for j in range(k):
+                nxt, d_cache = self._draft(
+                    self.draft_params, tok, d_cache,
+                    jnp.asarray(d_pos + j), offsets_j,
+                )
+                proposals[:, j] = np.asarray(nxt)
+                tok = nxt[:, None]
+            # draft consumed [last, p_0 .. p_{k-2}] at slots d_pos..d_pos+k-1
+
+            # -- verify phase: one T=k+1 target forward ------------------
+            verify_in = np.concatenate([last[:, None], proposals], axis=1)
+            greedy, t_cache = self._verify(
+                self.target_params, jnp.asarray(verify_in), t_cache,
+                jnp.asarray(t_pos), offsets_j,
+            )
+            greedy = np.asarray(greedy)  # [B, k+1]
+
+            # -- acceptance (host) ---------------------------------------
+            for i in range(len(prompts)):
+                if done[i]:
+                    continue
+                a = 0
+                while a < k and proposals[i, a] == greedy[i, a]:
+                    a += 1
+                self.stats.proposed += k
+                self.stats.accepted += a
+                if a < k:
+                    emitted = list(proposals[i, :a]) + [int(greedy[i, a])]
+                    last[i] = int(greedy[i, a])
+                    t_pos[i] += a + 1
+                    d_pos[i] += a + 1
+                else:
+                    # full acceptance: no bonus token (keeps the draft
+                    # exactly one consumed token behind — see module doc)
+                    emitted = list(proposals[i, :k])
+                    last[i] = int(proposals[i, k - 1])
+                    t_pos[i] += k
+                    d_pos[i] += k
+                for t in emitted:
+                    if len(out[i]) >= max_new_tokens:
+                        done[i] = True
+                        break
+                    if eos_id is not None and t == eos_id:
+                        done[i] = True
+                        break
+                    out[i].append(int(t))
+                if len(out[i]) >= max_new_tokens:
+                    done[i] = True
+            self.stats.rounds += 1
+
+        return [o[:max_new_tokens] for o in out[: len(prompts)]]

@@ -1,0 +1,125 @@
+"""Speculative decoding tests.
+
+The core invariant: the emitted stream is always the *target* model's
+greedy choice under the verify forward — a draft (good, bad, or the
+target itself) can change speed, never output. Oracle: plain greedy
+Engine.generate on the target. Seeds are chosen so greedy argmax is
+stable across the T=1 / T=k+1 forward shapes (see round-1 lesson on
+greedy-equality oracles); don't change them casually.
+"""
+
+import numpy as np
+import pytest
+
+from flute_tpu.models import llama
+from flute_tpu.serving import Engine
+from flute_tpu.serving.speculative import SpeculativeEngine
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    config = llama.LlamaConfig.tiny()
+    params = llama.init_params(config, rng=0)
+    target = llama.quantize_model(params, num_bits=4, group_size=64)
+    # an independent (differently-initialized) draft of the same shape:
+    # worst-case drafter — proposals rarely match
+    draft_params = llama.init_params(config, rng=7)
+    draft = llama.quantize_model(draft_params, num_bits=4, group_size=64)
+    return config, target, draft
+
+
+def _greedy_oracle(config, qparams, prompts, n):
+    eng = Engine(params=qparams, config=config, max_len=96,
+                 batch_size=len(prompts))
+    return eng.generate(prompts, max_new_tokens=n)
+
+
+def test_self_draft_matches_greedy_and_accepts(tiny_pair):
+    """Draft == target: output equals plain greedy decode and acceptance
+    is high (the draft proposes exactly what the target would pick)."""
+    config, target, _ = tiny_pair
+    prompts = [[3, 17, 42, 9], [11, 5]]
+    n = 12
+    want = _greedy_oracle(config, target, prompts, n)
+
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=target, draft_config=config,
+        k=3, max_len=96, batch_size=2,
+    )
+    got = eng.generate(prompts, max_new_tokens=n)
+    assert got == want
+    assert eng.stats.acceptance_rate > 0.8
+
+
+@pytest.mark.slow
+def test_bad_draft_still_matches_greedy(tiny_pair):
+    """An unrelated draft model cannot corrupt output — only slow it."""
+    config, target, draft = tiny_pair
+    prompts = [[3, 17, 42, 9], [11, 5]]
+    n = 12
+    want = _greedy_oracle(config, target, prompts, n)
+
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=draft, draft_config=config,
+        k=3, max_len=96, batch_size=2,
+    )
+    got = eng.generate(prompts, max_new_tokens=n)
+    assert got == want
+    # and it genuinely went through rejection rounds
+    assert eng.stats.proposed > 0
+    assert eng.stats.accepted < eng.stats.proposed
+
+
+@pytest.mark.slow
+def test_heterogeneous_draft_config(tiny_pair):
+    """Draft with a different architecture (fewer layers) — the configs
+    are independent; only the vocab must match."""
+    config, target, _ = tiny_pair
+    import dataclasses
+
+    dconfig = dataclasses.replace(config, num_layers=1)
+    dparams = llama.quantize_model(
+        llama.init_params(dconfig, rng=3), num_bits=4, group_size=64
+    )
+    prompts = [[3, 17, 42, 9]]
+    n = 10
+    want = _greedy_oracle(config, target, prompts, n)
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=dparams, draft_config=dconfig,
+        k=4, max_len=96, batch_size=1,
+    )
+    assert eng.generate(prompts, max_new_tokens=n) == want
+
+
+@pytest.mark.slow
+def test_eos_stops_early(tiny_pair):
+    """A sequence hitting eos inside an accepted run stops there."""
+    config, target, _ = tiny_pair
+    prompts = [[3, 17, 42, 9]]
+    want = _greedy_oracle(config, target, prompts, 8)[0]
+    assert len(want) >= 3
+    eos = want[2]  # third greedy token as eos -> expect exactly 2 tokens
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=target, draft_config=config,
+        k=3, max_len=96, batch_size=1,
+    )
+    got = eng.generate(prompts, max_new_tokens=8, eos_id=eos)
+    assert got[0] == want[:2]
+
+
+@pytest.mark.slow
+def test_k1_equivalent_to_plain_decode(tiny_pair):
+    """k=1 degenerates to verify-every-token; output unchanged."""
+    config, target, draft = tiny_pair
+    prompts = [[11, 5]]
+    want = _greedy_oracle(config, target, prompts, 8)
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=draft, draft_config=config,
+        k=1, max_len=96, batch_size=1,
+    )
+    assert eng.generate(prompts, max_new_tokens=8) == want
