@@ -98,11 +98,37 @@ def _cmd_generate(args):
         ids = [int(t) for t in args.prompt.split()]
         tok = None
 
-    eng = Engine(
-        params=params, config=config, forward=fwd, init_cache=init_cache,
-        max_len=args.max_len, batch_size=1,
-    )
-    out = eng.generate([ids], max_new_tokens=args.max_new_tokens)
+    if getattr(args, "draft_checkpoint", None):
+        # speculative decoding: the draft checkpoint (e.g. a W2
+        # quantization of the same model) proposes, the target verifies
+        from flute_tpu.serving import SpeculativeEngine
+
+        dparams, dconfig, dsidecar = load_quantized_model(
+            args.draft_checkpoint, batch_size=1, retune=args.retune
+        )
+        dfwd, dinit = model_fns(
+            (dsidecar.get("model_config") or {}).get("model_type", "llama")
+        )
+        if dfwd is not fwd:
+            raise SystemExit("draft and target model families must match")
+        eng = SpeculativeEngine(
+            target_params=params, target_config=config,
+            draft_params=dparams, draft_config=dconfig,
+            k=args.speculate_k, forward=fwd, init_cache=init_cache,
+            max_len=args.max_len, batch_size=1,
+        )
+        out = eng.generate([ids], max_new_tokens=args.max_new_tokens)
+        print(
+            f"# speculative: {eng.stats.rounds} rounds, "
+            f"{eng.stats.acceptance_rate:.0%} acceptance",
+            file=sys.stderr,
+        )
+    else:
+        eng = Engine(
+            params=params, config=config, forward=fwd, init_cache=init_cache,
+            max_len=args.max_len, batch_size=1,
+        )
+        out = eng.generate([ids], max_new_tokens=args.max_new_tokens)
     if tok is not None:
         print(tok.decode(out[0]))
     else:
@@ -240,6 +266,12 @@ def main(argv=None):
     g.add_argument("--max-new-tokens", type=int, default=64)
     g.add_argument("--max-len", type=int, default=2048)
     g.add_argument("--retune", action="store_true")
+    g.add_argument("--draft-checkpoint", default=None,
+                   help="enable speculative decoding with this quantized "
+                        "draft checkpoint (same tokenizer/vocab; e.g. a W2 "
+                        "quantization of the same model)")
+    g.add_argument("--speculate-k", type=int, default=4,
+                   help="draft proposals per verify round")
     g.set_defaults(fn=_cmd_generate)
 
     c = sub.add_parser("calibrate", help="NFL learned-scale calibration")

@@ -62,3 +62,31 @@ def test_cli_calibrate(hf_dir, tmp_path):
     from flute_tpu.nn import QuantizedLinear
 
     assert isinstance(params["layers"][0]["q"], QuantizedLinear)
+
+
+@pytest.mark.slow
+def test_cli_generate_speculative(hf_dir, tmp_path, capsys):
+    """W2 draft checkpoint speculates for the W4 target; output equals the
+    plain generate path (greedy invariance of speculative decoding)."""
+    tgt = str(tmp_path / "w4")
+    drf = str(tmp_path / "w2")
+    cli.main([
+        "quantize", "--model-dir", hf_dir, "--output-dir", tgt,
+        "--num-bits", "4", "--group-size", "64",
+    ])
+    cli.main([
+        "quantize", "--model-dir", hf_dir, "--output-dir", drf,
+        "--num-bits", "2", "--group-size", "64",
+    ])
+    cli.main([
+        "generate", "--checkpoint", tgt, "--prompt", "1 5 9",
+        "--max-new-tokens", "5", "--max-len", "64",
+    ])
+    plain = capsys.readouterr().out.strip().splitlines()[-1]
+    cli.main([
+        "generate", "--checkpoint", tgt, "--prompt", "1 5 9",
+        "--max-new-tokens", "5", "--max-len", "64",
+        "--draft-checkpoint", drf, "--speculate-k", "3",
+    ])
+    spec = capsys.readouterr().out.strip().splitlines()[-1]
+    assert spec == plain
