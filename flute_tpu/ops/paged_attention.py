@@ -1,0 +1,202 @@
+"""Paged decode attention: flash-style GQA over a block-pool KV cache.
+
+The reference serves through vLLM, whose memory system is PagedAttention:
+K/V live in fixed-size blocks allocated from a shared pool, and a
+per-sequence block table maps logical positions to pool blocks — so HBM
+holds sum(len_i) of K/V instead of B x max_len. This module is the
+TPU-native equivalent for the decode step (T = 1):
+
+  * the block table and per-sequence lengths are **scalar-prefetched**
+    (``pltpu.PrefetchScalarGridSpec``) so each grid step's input DMA
+    fetches exactly the pool block the table names — the gather never
+    materializes a dense [B, S] cache in HBM;
+  * grid = (batch, kv_head, logical_block); the innermost dimension
+    accumulates flash-style (running max / sum-exp rescale in VMEM
+    scratch), writing the output once on the last block;
+  * blocks past a sequence's length are masked via the position iota;
+    their table entries are clamped to 0 by the host wrapper so the DMA
+    stays in bounds (the compute is fully masked).
+
+Interpret-mode runs the same kernel for CPU tests; `paged_gqa_reference`
+is the jnp oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def paged_gqa_reference(
+    q: jax.Array,  # [B, H, D]
+    k_pool: jax.Array,  # [NB, Hkv, BS, D]
+    v_pool: jax.Array,  # [NB, Hkv, BS, D]
+    tables: jax.Array,  # [B, MB] int32 pool indices
+    lengths: jax.Array,  # [B] int32 valid positions
+    *,
+    scale: float | None = None,
+) -> jax.Array:
+    """Dense jnp oracle: gather blocks, run masked GQA."""
+    b, h, d = q.shape
+    nb, hkv, bs, _ = k_pool.shape
+    mb = tables.shape[1]
+    rep = h // hkv
+    scale = scale if scale is not None else d**-0.5
+    # [B, MB, Hkv, BS, D] -> [B, Hkv, MB*BS, D]
+    kk = k_pool[tables].transpose(0, 2, 1, 3, 4).reshape(b, hkv, mb * bs, d)
+    vv = v_pool[tables].transpose(0, 2, 1, 3, 4).reshape(b, hkv, mb * bs, d)
+    qm = q.reshape(b, hkv, rep, d)
+    scores = jnp.einsum(
+        "bhrd,bhsd->bhrs", qm.astype(jnp.float32), kk.astype(jnp.float32)
+    ) * scale
+    pos = jnp.arange(mb * bs, dtype=jnp.int32)[None, None, None, :]
+    scores = jnp.where(pos < lengths[:, None, None, None], scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhrs,bhsd->bhrd", p, vv.astype(jnp.float32))
+    return out.reshape(b, h, d).astype(q.dtype)
+
+
+def _kernel(
+    tables_ref,  # [B, MB] scalar-prefetch
+    lengths_ref,  # [B] scalar-prefetch
+    q_ref,  # [1, 1, rep_pad, D]
+    k_ref,  # [1, 1, BS, D]
+    v_ref,  # [1, 1, BS, D]
+    o_ref,  # [1, 1, rep_pad, D]
+    m_scr,  # [rep_pad, 128] f32 running max (col-broadcast)
+    l_scr,  # [rep_pad, 128] f32 running sum-exp
+    acc_scr,  # [rep_pad, D] f32 running numerator
+    *,
+    block_size: int,
+    scale: float,
+    max_blocks: int,
+):
+    bi = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = lengths_ref[bi]
+    base = j * block_size
+
+    @pl.when(base < length)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [rep_pad, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BS, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [rep_pad, BS]
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, -jnp.inf)
+
+        m_prev = m_scr[:, :1]  # [rep_pad, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        # rescale previous accumulation; exp(-inf - m_new) == 0 handles
+        # the first live block cleanly
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [rep_pad, BS]
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == max_blocks - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret")
+)
+def paged_decode_attention(
+    q: jax.Array,  # [B, H, D]
+    k_pool: jax.Array,  # [NB, Hkv, BS, D]
+    v_pool: jax.Array,  # [NB, Hkv, BS, D]
+    tables: jax.Array,  # [B, MB] int32
+    lengths: jax.Array,  # [B] int32
+    *,
+    scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Flash-style paged GQA decode attention (T = 1).
+
+    Table entries of blocks at or past a sequence's length may be any
+    in-range pool index (they are clamped here and fully masked in the
+    kernel). Returns [B, H, D] in q's dtype.
+    """
+    if interpret is None:
+        from flute_tpu.ops.lut_gemm import _interpret_default
+
+        interpret = _interpret_default()
+    b, h, d = q.shape
+    nb, hkv, bs, dk = k_pool.shape
+    mb = tables.shape[1]
+    if d != dk:
+        raise ValueError(f"head_dim mismatch: q {d} vs pool {dk}")
+    if h % hkv:
+        raise ValueError(f"{h} query heads not a multiple of {hkv} kv heads")
+    rep = h // hkv
+    rep_pad = max(8, -(-rep // 8) * 8)  # sublane-align the q rows
+    scale_f = float(scale if scale is not None else d**-0.5)
+
+    tables = jnp.clip(tables.astype(jnp.int32), 0, nb - 1)
+    lengths = lengths.astype(jnp.int32)
+    qp = jnp.zeros((b, hkv, rep_pad, d), q.dtype).at[:, :, :rep].set(
+        q.reshape(b, hkv, rep, d)
+    )
+
+    grid = (b, hkv, mb)
+    kernel = functools.partial(
+        _kernel, block_size=bs, scale=scale_f, max_blocks=mb
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, rep_pad, d),
+                    lambda bi, hi, j, tbl, ln: (bi, hi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bs, d),
+                    lambda bi, hi, j, tbl, ln: (tbl[bi, j], hi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bs, d),
+                    lambda bi, hi, j, tbl, ln: (tbl[bi, j], hi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rep_pad, d),
+                lambda bi, hi, j, tbl, ln: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rep_pad, 128), jnp.float32),
+                pltpu.VMEM((rep_pad, 128), jnp.float32),
+                pltpu.VMEM((rep_pad, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep_pad, d), q.dtype),
+        interpret=interpret,
+    )(tables, lengths, qp, k_pool, v_pool)
+    return out[:, :, :rep].reshape(b, h, d)
