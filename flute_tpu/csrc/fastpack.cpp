@@ -122,4 +122,81 @@ int flute_unpack_plane(const int32_t* words, int32_t* codes, int64_t K,
   return 0;
 }
 
+// Wide 3-bit layout (packing.py pack_w3_wide_np): 16 six-bit pair fields
+// (ce | co << 3) per three int32 words, planar per chunk — rows
+// [c*3 + w]*ntrip + t for word w of triple t, field j at bit 6*j of the
+// 96-bit group (two fields straddle a word boundary). codes [K, N] int32
+// of 3-bit values -> words [3K/32, N] int32.
+int flute_pack_w3_wide(const int32_t* codes, int32_t* words, int64_t K,
+                       int64_t N, int64_t chunk) {
+  if (chunk % 256 != 0 || K % chunk != 0) return 1;
+  const int64_t cp = chunk / 2;  // pairs per chunk
+  const int64_t ntrip = cp / 16;
+  const int64_t nch = K / chunk;
+
+  parallel_for(nch * ntrip, [&](int64_t idx) {
+    const int64_t c = idx / ntrip;
+    const int64_t t = idx % ntrip;
+    uint32_t* w[3];
+    for (int a = 0; a < 3; ++a) {
+      w[a] = reinterpret_cast<uint32_t*>(words) + ((c * 3 + a) * ntrip + t) * N;
+      std::memset(w[a], 0, sizeof(uint32_t) * N);
+    }
+    for (int j = 0; j < 16; ++j) {
+      const int64_t pr = c * cp + j * ntrip + t;
+      const int32_t* even = codes + (2 * pr) * N;
+      const int32_t* odd = codes + (2 * pr + 1) * N;
+      const int bit = 6 * j;
+      const int wa = bit / 32;
+      const int off = bit % 32;
+      uint32_t* lo = w[wa];
+      uint32_t* hi = (off + 6 > 32) ? w[wa + 1] : nullptr;
+      for (int64_t n = 0; n < N; ++n) {
+        const uint32_t f = (static_cast<uint32_t>(even[n]) & 7u) |
+                           ((static_cast<uint32_t>(odd[n]) & 7u) << 3);
+        lo[n] |= f << off;  // uint32 shift truncates the straddle high part
+        if (hi) hi[n] |= f >> (32 - off);
+      }
+    }
+  });
+  return 0;
+}
+
+// Inverse: words [3K/32, N] int32 -> codes [K, N] int32 (values in [0, 8)).
+int flute_unpack_w3_wide(const int32_t* words, int32_t* codes, int64_t K,
+                         int64_t N, int64_t chunk) {
+  if (chunk % 256 != 0 || K % chunk != 0) return 1;
+  const int64_t cp = chunk / 2;
+  const int64_t ntrip = cp / 16;
+  const int64_t nch = K / chunk;
+
+  parallel_for(nch * ntrip, [&](int64_t idx) {
+    const int64_t c = idx / ntrip;
+    const int64_t t = idx % ntrip;
+    const uint32_t* w[3];
+    for (int a = 0; a < 3; ++a) {
+      w[a] = reinterpret_cast<const uint32_t*>(words) +
+             ((c * 3 + a) * ntrip + t) * N;
+    }
+    for (int j = 0; j < 16; ++j) {
+      const int64_t pr = c * cp + j * ntrip + t;
+      int32_t* even = codes + (2 * pr) * N;
+      int32_t* odd = codes + (2 * pr + 1) * N;
+      const int bit = 6 * j;
+      const int wa = bit / 32;
+      const int off = bit % 32;
+      const uint32_t* lo = w[wa];
+      const uint32_t* hi = (off + 6 > 32) ? w[wa + 1] : nullptr;
+      for (int64_t n = 0; n < N; ++n) {
+        uint32_t f = lo[n] >> off;
+        if (hi) f |= hi[n] << (32 - off);
+        f &= 0x3Fu;
+        even[n] = static_cast<int32_t>(f & 7u);
+        odd[n] = static_cast<int32_t>(f >> 3);
+      }
+    }
+  });
+  return 0;
+}
+
 }  // extern "C"

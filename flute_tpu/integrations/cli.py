@@ -215,15 +215,28 @@ def _cmd_serve(args):
         validate_tp(params, config, tp=args.tp)
         params = permute_fused_params(params, config, tp=args.tp)
         mesh = make_mesh(tp=args.tp, dp=1)
-    eng = ContinuousBatchingEngine(
-        params=params, config=config, forward=fwd, init_cache=init_cache,
-        num_slots=args.num_slots, max_len=args.max_len,
-        eos_id=getattr(tok, "eos_token_id", None),
-        prefill_chunk=args.prefill_chunk,
-        prefix_cache_entries=args.prefix_cache,
-        prefix_block=args.prefix_block,
-        mesh=mesh,
-    )
+    if args.paged:
+        from flute_tpu.serving.paged import PagedEngine
+
+        if mesh is not None:
+            raise SystemExit("--paged does not compose with --tp yet")
+        eng = PagedEngine(
+            params=params, config=config,
+            forward=fwd, init_cache=init_cache,
+            num_slots=args.num_slots, max_len=args.max_len,
+            block_size=args.block_size, num_blocks=args.num_blocks,
+            eos_id=getattr(tok, "eos_token_id", None),
+        )
+    else:
+        eng = ContinuousBatchingEngine(
+            params=params, config=config, forward=fwd, init_cache=init_cache,
+            num_slots=args.num_slots, max_len=args.max_len,
+            eos_id=getattr(tok, "eos_token_id", None),
+            prefill_chunk=args.prefill_chunk,
+            prefix_cache_entries=args.prefix_cache,
+            prefix_block=args.prefix_block,
+            mesh=mesh,
+        )
     srv = serve(eng, host=args.host, port=args.port, tokenizer=tok)
     print(f"serving on http://{args.host}:{srv.server_address[1]}/v1/completions")
     import time as _time
@@ -304,6 +317,13 @@ def main(argv=None):
     s.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways (devices on the mesh tp axis); "
                         "fused checkpoints are rank-major permuted on load")
+    s.add_argument("--paged", action="store_true",
+                   help="paged KV engine: block-pool memory, HBM cost "
+                        "sum(len_i) instead of num_slots x max_len")
+    s.add_argument("--block-size", type=int, default=16,
+                   help="paged KV block size in tokens")
+    s.add_argument("--num-blocks", type=int, default=512,
+                   help="paged KV pool size in blocks")
     s.set_defaults(fn=_cmd_serve)
 
     imp = sub.add_parser(

@@ -85,7 +85,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             if not fresh and not _build():
                 return None
             lib = ctypes.CDLL(_LIB)
-            for fn in (lib.flute_pack_plane, lib.flute_unpack_plane):
+            for fn in (
+                lib.flute_pack_plane,
+                lib.flute_unpack_plane,
+                lib.flute_pack_w3_wide,
+                lib.flute_unpack_w3_wide,
+            ):
                 fn.restype = ctypes.c_int
             lib.flute_pack_plane.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -95,6 +100,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
             ]
+            wide_args = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.flute_pack_w3_wide.argtypes = wide_args
+            lib.flute_unpack_w3_wide.argtypes = wide_args
             _lib = lib
         except Exception:
             _lib = None
@@ -139,4 +150,37 @@ def unpack_plane(
     )
     if rc != 0:
         raise ValueError(f"flute_unpack_plane failed (rc={rc})")
+    return out
+
+
+def pack_w3_wide(codes: np.ndarray, chunk: int) -> Optional[np.ndarray]:
+    """Native wide 3-bit pack: codes [K, N] -> words [3K/32, N]; None if
+    no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    k, n = codes.shape
+    out = np.empty((k * 3 // 32, n), np.int32)
+    rc = lib.flute_pack_w3_wide(codes.ctypes.data, out.ctypes.data, k, n, chunk)
+    if rc != 0:
+        raise ValueError(f"flute_pack_w3_wide failed (rc={rc})")
+    return out
+
+
+def unpack_w3_wide(words: np.ndarray, chunk: int) -> Optional[np.ndarray]:
+    """Native wide 3-bit unpack: words [3K/32, N] -> codes [K, N]; None if
+    no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.int32)
+    rows, n = words.shape
+    k = rows * 32 // 3
+    out = np.empty((k, n), np.int32)
+    rc = lib.flute_unpack_w3_wide(
+        words.ctypes.data, out.ctypes.data, k, n, chunk
+    )
+    if rc != 0:
+        raise ValueError(f"flute_unpack_w3_wide failed (rc={rc})")
     return out

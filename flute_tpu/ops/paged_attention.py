@@ -39,8 +39,12 @@ def paged_gqa_reference(
     lengths: jax.Array,  # [B] int32 valid positions
     *,
     scale: float | None = None,
+    softcap: float | None = None,
+    window: int | None = None,
 ) -> jax.Array:
-    """Dense jnp oracle: gather blocks, run masked GQA."""
+    """Dense jnp oracle: gather blocks, run masked GQA (optionally with
+    Gemma-2's attn-logit softcap and a sliding window over the last
+    ``window`` positions)."""
     b, h, d = q.shape
     nb, hkv, bs, _ = k_pool.shape
     mb = tables.shape[1]
@@ -53,8 +57,15 @@ def paged_gqa_reference(
     scores = jnp.einsum(
         "bhrd,bhsd->bhrs", qm.astype(jnp.float32), kk.astype(jnp.float32)
     ) * scale
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
     pos = jnp.arange(mb * bs, dtype=jnp.int32)[None, None, None, :]
-    scores = jnp.where(pos < lengths[:, None, None, None], scores, -jnp.inf)
+    valid = pos < lengths[:, None, None, None]
+    if window is not None:
+        # decode query sits at position lengths-1; it sees the last
+        # `window` positions: pos >= lengths - window
+        valid &= pos >= (lengths[:, None, None, None] - window)
+    scores = jnp.where(valid, scores, -jnp.inf)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhrs,bhsd->bhrd", p, vv.astype(jnp.float32))
     return out.reshape(b, h, d).astype(q.dtype)
@@ -74,6 +85,8 @@ def _kernel(
     block_size: int,
     scale: float,
     max_blocks: int,
+    softcap: float | None,
+    window: int | None,
 ):
     bi = pl.program_id(0)
     j = pl.program_id(2)
@@ -87,7 +100,12 @@ def _kernel(
     length = lengths_ref[bi]
     base = j * block_size
 
-    @pl.when(base < length)
+    live = base < length
+    if window is not None:
+        # blocks entirely before the window contribute nothing
+        live &= base + block_size > length - window
+
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)  # [rep_pad, D]
         k = k_ref[0, 0].astype(jnp.float32)  # [BS, D]
@@ -96,8 +114,13 @@ def _kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [rep_pad, BS]
+        if softcap is not None:
+            s = jnp.tanh(s / softcap) * softcap
         pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < length, s, -jnp.inf)
+        valid = pos < length
+        if window is not None:
+            valid &= pos >= length - window
+        s = jnp.where(valid, s, -jnp.inf)
 
         m_prev = m_scr[:, :1]  # [rep_pad, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -120,7 +143,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret")
+    jax.jit, static_argnames=("scale", "softcap", "window", "interpret")
 )
 def paged_decode_attention(
     q: jax.Array,  # [B, H, D]
@@ -130,13 +153,18 @@ def paged_decode_attention(
     lengths: jax.Array,  # [B] int32
     *,
     scale: float | None = None,
+    softcap: float | None = None,
+    window: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Flash-style paged GQA decode attention (T = 1).
 
     Table entries of blocks at or past a sequence's length may be any
     in-range pool index (they are clamped here and fully masked in the
-    kernel). Returns [B, H, D] in q's dtype.
+    kernel). ``softcap`` applies Gemma-2's tanh attn-logit cap; ``window``
+    restricts attention to the last ``window`` positions (sliding-window
+    layers) — fully-out-of-window blocks skip compute entirely. Returns
+    [B, H, D] in q's dtype.
     """
     if interpret is None:
         from flute_tpu.ops.lut_gemm import _interpret_default
@@ -161,7 +189,9 @@ def paged_decode_attention(
 
     grid = (b, hkv, mb)
     kernel = functools.partial(
-        _kernel, block_size=bs, scale=scale_f, max_blocks=mb
+        _kernel, block_size=bs, scale=scale_f, max_blocks=mb,
+        softcap=None if softcap is None else float(softcap),
+        window=None if window is None else int(window),
     )
     out = pl.pallas_call(
         kernel,

@@ -208,9 +208,15 @@ def pack(
 # than the dual-plane layout on v5e (docs/KERNEL_NOTES.md round 2).
 
 
-def pack_w3_wide_np(codes: np.ndarray, *, chunk: int = DEFAULT_CHUNK) -> list[np.ndarray]:
+def pack_w3_wide_np(
+    codes: np.ndarray,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    use_native: bool = True,
+) -> list[np.ndarray]:
     """Pack ``[K, N]`` 3-bit codes into the wide single-plane layout
-    (int32 ``[3K/32, N]``)."""
+    (int32 ``[3K/32, N]``). Uses the threaded C++ packer when available;
+    the numpy path below is the reference it is tested against."""
     k, n = codes.shape
     if k % chunk != 0:
         raise ValueError(f"K={k} must be a multiple of pack chunk {chunk}")
@@ -219,6 +225,11 @@ def pack_w3_wide_np(codes: np.ndarray, *, chunk: int = DEFAULT_CHUNK) -> list[np
         # the kernel gathers 8-sublane slabs of triples: cp/16 must be a
         # multiple of 8
         raise ValueError(f"chunk={chunk} incompatible with wide 3-bit layout")
+    if use_native:
+        from flute_tpu import native
+
+        if native.available():
+            return [native.pack_w3_wide(codes, chunk)]
     pairs = (codes[0::2] | (codes[1::2] << 3)).astype(np.uint64)  # [K/2, N]
     nch = (k // 2) // cp
     ntrip = cp // 16
@@ -234,10 +245,20 @@ def pack_w3_wide_np(codes: np.ndarray, *, chunk: int = DEFAULT_CHUNK) -> list[np
     return [out.view(np.int32)]
 
 
-def unpack_w3_wide_np(plane: np.ndarray, *, chunk: int = DEFAULT_CHUNK) -> np.ndarray:
+def unpack_w3_wide_np(
+    plane: np.ndarray,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    use_native: bool = True,
+) -> np.ndarray:
     """Inverse of :func:`pack_w3_wide_np` -> ``[K, N]`` int32 codes."""
     rows, n = np.asarray(plane).shape
     k = rows * 32 // 3
+    if use_native:
+        from flute_tpu import native
+
+        if native.available():
+            return native.unpack_w3_wide(np.asarray(plane), chunk)
     cp = chunk // 2
     ntrip = cp // 16
     w = np.asarray(plane).view(np.uint32).reshape(k // chunk, 3, ntrip, n).astype(np.uint64)

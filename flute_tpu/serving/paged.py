@@ -19,8 +19,13 @@ user expects from the serving layer). TPU-native realization:
     and the K/V blocks are then scattered into the pool — the same
     splice pattern as the block prefix cache (serving/continuous.py).
 
-Greedy decode only, llama-family models (Gemma-2's softcaps/sliding
-window would need kernel variants; ROADMAP "Serving").
+Per-request sampling (temperature/top-k/top-p/seed) shares the
+continuous engine's machinery: randomness is keyed on (request seed,
+tokens generated), never the global step, so sampled output is
+deterministic per seed regardless of batch composition. Llama and
+Gemma-2 families: Gemma-2 configs are auto-detected and decode through
+the paged kernel's softcap/sliding-window variants (out-of-window
+blocks skip compute entirely).
 """
 
 from __future__ import annotations
@@ -42,11 +47,17 @@ from flute_tpu.models.llama import (
     split_fused_qkv,
 )
 from flute_tpu.ops.paged_attention import paged_decode_attention
+from flute_tpu.serving.continuous import (
+    SamplingParams,
+    _sample_row,
+    _sample_slots,
+)
 
 
 @dataclasses.dataclass
 class PagedEngine:
-    """Slot-based greedy engine over a paged KV pool.
+    """Slot-based engine over a paged KV pool (greedy or per-request
+    sampled decode).
 
     ``num_blocks`` bounds total cached tokens (num_blocks * block_size),
     decoupled from ``num_slots * max_len`` — the memory win over the
@@ -61,9 +72,32 @@ class PagedEngine:
     max_len: int = 512  # per-sequence logical cap (table width)
     pad_id: int = 0
     eos_id: Optional[int] = None
+    # dense-prefill hooks; Gemma-2 configs are auto-detected (softcap /
+    # sliding-window paged decode) and swap these to the gemma2 module
+    forward: Any = None
+    init_cache: Any = None
+    # called as token_callback(rid, token) after every generated token —
+    # the streaming hook serving/server.py uses (same contract as
+    # ContinuousBatchingEngine)
+    token_callback: Any = None
+    # Pool-level prefix caching (vLLM's hash-block sharing): full prompt
+    # blocks are kept in the pool after a request finishes, keyed by their
+    # exact token prefix, and *shared by reference* with later requests —
+    # a hit costs zero HBM and zero prefill compute for the shared run.
+    # Refcounts protect live blocks; unreferenced cached blocks are the
+    # first evicted (LRU) under pool pressure. 0 = off.
+    prefix_cache_blocks: int = 0
 
     def __post_init__(self):
         cfg = self.config
+        self._is_gemma2 = hasattr(cfg, "attn_logit_softcap")
+        if self.forward is None or self.init_cache is None:
+            if self._is_gemma2:
+                from flute_tpu.models import gemma2 as _family
+            else:
+                _family = llama
+            self.forward = self.forward or _family.forward
+            self.init_cache = self.init_cache or _family.init_cache
         bs = self.block_size
         if self.max_len % bs:
             raise ValueError(f"max_len {self.max_len} % block {bs} != 0")
@@ -82,8 +116,26 @@ class PagedEngine:
         self._budget: dict[int, int] = {}
         self._out: dict[int, list] = {}
         self._last = np.zeros((self.num_slots,), np.int32)
+        self._temp = np.zeros((self.num_slots,), np.float32)
+        self._top_k = np.zeros((self.num_slots,), np.int32)
+        self._top_p = np.ones((self.num_slots,), np.float32)
+        self._seeds = np.zeros((self.num_slots,), np.int32)
+        self._gen_count = np.zeros((self.num_slots,), np.int32)
+        self._key = jax.random.PRNGKey(0)
         self._queue: list = []
         self._next_rid = 0
+        self._finished: dict[int, list] = {}
+        # prefix cache state: tuple(prompt[:i*bs]) -> pool row holding that
+        # block's K/V (LRU order); refcount of live *readers* per pool row
+        # (cached rows with refcount 0 are evictable)
+        from collections import OrderedDict
+
+        self._prefix_map: "OrderedDict[tuple, int]" = OrderedDict()
+        self._refs = np.zeros((self.num_blocks,), np.int64)
+        self._slot_shared: list[list[int]] = [[] for _ in range(self.num_slots)]
+        self._slot_prompt: list[Optional[list]] = [None] * self.num_slots
+        self.prefix_hits = 0  # requests that reused >= 1 cached block
+        self.prefix_block_hits = 0  # total blocks shared by reference
         self._build_steps()
 
     # -- compiled steps ----------------------------------------------------
@@ -92,11 +144,90 @@ class PagedEngine:
         cfg = self.config
         bs = self.block_size
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def decode_step(params, kp, vp, tables, lengths, tokens):
-            """One paged T=1 greedy step for every slot (inactive slots
-            compute on junk at their frozen position — harmless, masked by
-            the host-side slot bookkeeping)."""
+        def paged_forward_gemma2(params, kp, vp, tables, lengths, tokens):
+            """Gemma-2 paged T=1 forward: sandwich norms, GeGLU, embed
+            scaling, alternating sliding/global attention (softcap + window
+            handled inside the paged kernel), final logit softcap."""
+            from flute_tpu.models.gemma2 import rms_norm_gemma
+            from flute_tpu.models.gemma2 import rope_tables as g2_rope
+
+            b = tokens.shape[0]
+            x = params["embed"][tokens].astype(cfg.dtype)
+            x = x * jnp.asarray(cfg.hidden_size**0.5, cfg.dtype)
+            positions = lengths[:, None]
+            cos, sin = g2_rope(cfg, positions)
+            d = cfg.head_dim
+            rows = tables[jnp.arange(b), lengths // bs]
+            offs = lengths % bs
+            att_len = lengths + 1
+            eps = cfg.rms_norm_eps
+
+            new_kp, new_vp = [], []
+            for li, layer in enumerate(params["layers"]):
+                h = rms_norm_gemma(x, layer["attn_norm"], eps)
+                if "qkv" in layer:
+                    qkv = apply_linear(layer["qkv"], h)
+                    q, k, v = split_fused_qkv(
+                        qkv, cfg.num_heads, cfg.num_kv_heads, d
+                    )
+                else:
+                    q = apply_linear(layer["q"], h).reshape(b, 1, -1, d)
+                    k = apply_linear(layer["k"], h).reshape(b, 1, -1, d)
+                    v = apply_linear(layer["v"], h).reshape(b, 1, -1, d)
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
+                kpl = kp[li].at[rows, :, offs, :].set(
+                    k[:, 0].astype(kp[li].dtype)
+                )
+                vpl = vp[li].at[rows, :, offs, :].set(
+                    v[:, 0].astype(vp[li].dtype)
+                )
+                attn = paged_decode_attention(
+                    q[:, 0], kpl, vpl, tables, att_len,
+                    scale=cfg.query_pre_attn_scalar**-0.5,
+                    softcap=cfg.attn_logit_softcap,
+                    # even layers slide (HF order) — models/gemma2.py:204
+                    window=cfg.sliding_window if li % 2 == 0 else None,
+                )
+                o = apply_linear(layer["o"], attn.reshape(b, 1, -1))
+                o = rms_norm_gemma(o, layer["post_attn_norm"], eps)
+                x = x + o
+                h2 = rms_norm_gemma(x, layer["mlp_norm"], eps)
+                if "gate_up" in layer:
+                    gu = apply_linear(layer["gate_up"], h2)
+                    inter = gu.shape[-1] // 2
+                    gate, up = gu[..., :inter], gu[..., inter:]
+                else:
+                    gate = apply_linear(layer["gate"], h2)
+                    up = apply_linear(layer["up"], h2)
+                down = apply_linear(
+                    layer["down"], jax.nn.gelu(gate, approximate=True) * up
+                )
+                down = rms_norm_gemma(down, layer["post_mlp_norm"], eps)
+                x = x + down
+                new_kp.append(kpl)
+                new_vp.append(vpl)
+
+            x = rms_norm_gemma(x, params["final_norm"], eps)
+            head = params.get("lm_head")
+            from flute_tpu.nn import QuantizedLinear
+
+            if isinstance(head, QuantizedLinear):
+                logits = head(x)[..., : cfg.vocab_size]
+            else:
+                logits = jnp.dot(
+                    x, params["embed"].T.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            cap = cfg.final_logit_softcap
+            logits = jnp.tanh(logits / cap) * cap
+            return logits[:, -1], new_kp, new_vp
+
+        def paged_forward_llama(params, kp, vp, tables, lengths, tokens):
+            """One paged T=1 forward for every slot (inactive slots compute
+            on junk at their frozen position — harmless, masked by the
+            host-side slot bookkeeping). Returns last-token logits and the
+            updated pools."""
             b = tokens.shape[0]
             x = params["embed"][tokens].astype(cfg.dtype)  # [B, 1, hid]
             positions = lengths[:, None]  # [B, 1] rope position = length
@@ -162,33 +293,85 @@ class PagedEngine:
                     x, head.astype(x.dtype),
                     preferred_element_type=jnp.float32,
                 )
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return logits[:, -1], new_kp, new_vp
+
+        paged_forward = (
+            paged_forward_gemma2 if self._is_gemma2 else paged_forward_llama
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def decode_step_greedy(params, kp, vp, tables, lengths, tokens):
+            logits, new_kp, new_vp = paged_forward(
+                params, kp, vp, tables, lengths, tokens
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return nxt, new_kp, new_vp
 
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def decode_step(params, kp, vp, tables, lengths, tokens,
+                        key, gen_counts, temp, top_k, top_p, seeds):
+            logits, new_kp, new_vp = paged_forward(
+                params, kp, vp, tables, lengths, tokens
+            )
+            keys = jax.vmap(
+                lambda s, c: jax.random.fold_in(jax.random.fold_in(key, s), c)
+            )(seeds, gen_counts)
+            nxt = _sample_slots(keys, logits, temp, top_k, top_p)
+            return nxt, new_kp, new_vp
+
+        self._decode_greedy = decode_step_greedy
         self._decode = decode_step
         self._prefills: dict = {}
 
-    def _prefill_fn(self, bucket: int):
-        if bucket not in self._prefills:
+    def _prefill_fn(self, csize: int, tb: int):
+        """Jitted dense prefill of ``tb`` right-padded tokens at scalar
+        position offset ``pos0`` into a ``csize``-column scratch cache;
+        returns the logits row of the last real token (``last_idx`` within
+        the token bucket)."""
+        key = (csize, tb)
+        if key not in self._prefills:
             cfg = self.config
+            fwd = self.forward
 
             @jax.jit
-            def prefill(params, tokens, small_cache):
-                logits, small_cache = llama.forward(
-                    params, cfg, tokens, small_cache, jnp.int32(0)
+            def prefill(params, tokens, small_cache, pos0, last_idx):
+                logits, small_cache = fwd(
+                    params, cfg, tokens, small_cache, pos0
                 )
-                # right-padded prompt: the caller reads position plen-1
-                return (
-                    jnp.argmax(logits, axis=-1).astype(jnp.int32),
-                    small_cache,
-                )
+                row = jax.lax.dynamic_slice_in_dim(
+                    logits, last_idx, 1, axis=1
+                )[:, 0]
+                return row.astype(jnp.float32), small_cache
 
-            self._prefills[bucket] = prefill
-        return self._prefills[bucket]
+            self._prefills[key] = prefill
+        return self._prefills[key]
+
+    def _sample_first(self, logits_row, sampling: SamplingParams) -> int:
+        if "sample1" not in self._prefills:
+            self._prefills["sample1"] = jax.jit(_sample_row)
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._key, sampling.seed), 0
+        )
+        return int(
+            self._prefills["sample1"](
+                key, logits_row,
+                jnp.float32(sampling.temperature),
+                jnp.int32(sampling.top_k),
+                jnp.float32(sampling.top_p),
+            )
+        )
 
     # -- admission / bookkeeping ------------------------------------------
 
-    def submit(self, prompt: Sequence[int], max_new_tokens: int = 32) -> int:
+    def submit(
+        self,
+        prompt: Sequence[int],
+        max_new_tokens: int = 32,
+        sampling: Optional[SamplingParams] = None,
+        **sampling_kw,
+    ) -> int:
+        """Queue a request. Per-request sampling: pass a SamplingParams or
+        temperature=/top_k=/top_p=/seed= keywords (default greedy)."""
         if len(prompt) + max_new_tokens + 1 > self.max_len:
             raise ValueError(
                 f"prompt {len(prompt)} + budget {max_new_tokens} exceeds "
@@ -199,48 +382,135 @@ class PagedEngine:
             raise ValueError(
                 f"request needs {need} blocks; pool has {self.num_blocks - 1}"
             )
+        if sampling is None:
+            sampling = SamplingParams(**sampling_kw)
+        elif sampling_kw:
+            raise ValueError("pass either sampling= or keyword params, not both")
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append((rid, list(prompt), max_new_tokens))
+        self._queue.append((rid, list(prompt), max_new_tokens, sampling))
         return rid
 
     def _blocks_needed(self, total_len: int) -> int:
         return -(-total_len // self.block_size)
 
+    # -- prefix cache (pool-level block sharing) ---------------------------
+
+    def _evictable(self) -> int:
+        return sum(1 for r in self._prefix_map.values() if self._refs[r] == 0)
+
+    def _take_blocks(self, n: int) -> Optional[list[int]]:
+        """Pop ``n`` pool blocks, evicting LRU *unreferenced* cached blocks
+        as needed; None when the pool cannot supply them (pressure)."""
+        if len(self._free) + self._evictable() < n:
+            return None
+        while len(self._free) < n:
+            for key, row in self._prefix_map.items():  # LRU order
+                if self._refs[row] == 0:
+                    del self._prefix_map[key]
+                    self._free.append(row)
+                    break
+        return [self._free.pop() for _ in range(n)]
+
+    def _trim_cache(self):
+        while len(self._prefix_map) > self.prefix_cache_blocks:
+            for key, row in self._prefix_map.items():
+                if self._refs[row] == 0:
+                    del self._prefix_map[key]
+                    self._free.append(row)
+                    break
+            else:
+                break  # every cached block is live-referenced; retry later
+
+    def _find_shared(self, prompt: list) -> list[int]:
+        """Pool rows of the longest contiguous cached run over a *proper*
+        prefix of ``prompt`` (>= 1 token must remain to prefill for
+        next-token logits)."""
+        bs = self.block_size
+        shared = []
+        for i in range(1, (len(prompt) - 1) // bs + 1):
+            row = self._prefix_map.get(tuple(prompt[: i * bs]))
+            if row is None:
+                break
+            shared.append(row)
+        return shared
+
     def _admit(self):
+        bs = self.block_size
         for slot in range(self.num_slots):
             if self._slot_req[slot] is not None or not self._queue:
                 continue
-            rid, prompt, budget = self._queue[0]
+            rid, prompt, budget, sampling = self._queue[0]
             plen = len(prompt)
-            need = self._blocks_needed(plen + budget + 1)
-            if len(self._free) < need:
+            nb_total = self._blocks_needed(plen + budget + 1)
+            shared = (
+                self._find_shared(prompt) if self.prefix_cache_blocks else []
+            )
+            # pin shared rows BEFORE taking blocks: _take_blocks evicts
+            # zero-ref cached rows, which is exactly what `shared` is
+            for row in shared:
+                self._refs[row] += 1
+            own = self._take_blocks(nb_total - len(shared))
+            if own is None:
+                for row in shared:
+                    self._refs[row] -= 1
                 return  # pool pressure: wait for a slot to free
             self._queue.pop(0)
-            blocks = [self._free.pop() for _ in range(need)]
-            self._slot_blocks[slot] = blocks
+            for i in range(len(shared)):
+                self._prefix_map.move_to_end(tuple(prompt[: (i + 1) * bs]))
+            if shared:
+                self.prefix_hits += 1
+                self.prefix_block_hits += len(shared)
+            blocks = shared + own
+            self._slot_shared[slot] = list(shared)
+            self._slot_blocks[slot] = own
+            self._slot_prompt[slot] = list(prompt)
             self._tables[slot, :] = 0
             self._tables[slot, : len(blocks)] = blocks
             self._slot_req[slot] = rid
             self._budget[rid] = budget
             self._out[rid] = []
+            self._temp[slot] = sampling.temperature
+            self._top_k[slot] = sampling.top_k
+            self._top_p[slot] = sampling.top_p
+            self._seeds[slot] = sampling.seed
 
-            # dense prefill into a bucketed scratch cache, then scatter
-            # whole blocks into the pool
-            bucket = self.block_size
-            while bucket < plen:
-                bucket *= 2
-            scratch = llama.init_cache(self.config, 1, bucket)
-            toks = np.full((1, bucket), self.pad_id, np.int32)
-            toks[0, :plen] = prompt
+            # dense prefill of the non-shared suffix into a bucketed
+            # scratch cache (shared pool blocks spliced in first so the
+            # suffix attends to them), then scatter whole new blocks into
+            # the pool. RoPE'd K is position-absolute, so block reuse at
+            # the same positions is exact.
+            p0 = len(shared) * bs
+            rem = plen - p0
+            csize = bs
+            while csize < plen:
+                csize *= 2
+            tb = bs
+            while tb < rem:
+                tb *= 2
+            scratch = self.init_cache(self.config, 1, csize)
+            for bi, row in enumerate(shared):
+                for li in range(self.config.num_layers):
+                    scratch["k"][li] = (
+                        scratch["k"][li]
+                        .at[0, :, bi * bs:(bi + 1) * bs, :]
+                        .set(self._kp[li][row].astype(scratch["k"][li].dtype))
+                    )
+                    scratch["v"][li] = (
+                        scratch["v"][li]
+                        .at[0, :, bi * bs:(bi + 1) * bs, :]
+                        .set(self._vp[li][row].astype(scratch["v"][li].dtype))
+                    )
+            toks = np.full((1, tb), self.pad_id, np.int32)
+            toks[0, :rem] = prompt[p0:]
             # right-pad: junk tail K/V is causally masked during prefill
             # and lives past `lengths`, so paged attention never sees it
-            greedy_all, scratch = self._prefill_fn(bucket)(
-                self.params, jnp.asarray(toks), scratch
+            last_row, scratch = self._prefill_fn(csize, tb)(
+                self.params, jnp.asarray(toks), scratch,
+                jnp.int32(p0), jnp.int32(rem - 1),
             )
-            first = np.asarray(greedy_all)[0, plen - 1]
-            bs = self.block_size
-            for bi in range(self._blocks_needed(plen)):
+            first = self._sample_first(last_row[0], sampling)
+            for bi in range(len(shared), self._blocks_needed(plen)):
                 row = blocks[bi]
                 for li in range(self.config.num_layers):
                     kblk = jax.lax.dynamic_slice_in_dim(
@@ -256,7 +526,8 @@ class PagedEngine:
                         vblk.astype(self._vp[li].dtype)
                     )
             self._lengths[slot] = plen
-            self._record(slot, int(first))
+            self._gen_count[slot] = 1  # next decode draw is generation 1
+            self._record(slot, first)
 
     def _record(self, slot: int, tok: int):
         rid = self._slot_req[slot]
@@ -265,12 +536,40 @@ class PagedEngine:
             return
         self._out[rid].append(tok)
         self._last[slot] = tok
+        if self.token_callback is not None:
+            self.token_callback(rid, tok)
         if len(self._out[rid]) >= self._budget[rid]:
             self._finish(slot)
 
     def _finish(self, slot: int):
-        self._free.extend(reversed(self._slot_blocks[slot]))
+        rid = self._slot_req[slot]
+        self._finished[rid] = self._out.pop(rid)
+        bs = self.block_size
+        for row in self._slot_shared[slot]:
+            self._refs[row] -= 1
+        # donate prompt-pure owned blocks to the prefix cache (they become
+        # zero-ref cached blocks, shareable by reference and first in line
+        # for eviction); free the rest (blocks holding generated K/V)
+        prompt = self._slot_prompt[slot] or []
+        plen = len(prompt)
+        nshare = len(self._slot_shared[slot])
+        for gi0, row in enumerate(self._slot_blocks[slot]):
+            gi = nshare + gi0
+            end = (gi + 1) * bs
+            key = tuple(prompt[:end]) if end <= plen else None
+            if (
+                self.prefix_cache_blocks
+                and key is not None
+                and key not in self._prefix_map
+            ):
+                self._prefix_map[key] = row  # donated: zero-ref, evictable
+            else:
+                self._free.append(row)
+        if self.prefix_cache_blocks:
+            self._trim_cache()
         self._slot_blocks[slot] = []
+        self._slot_shared[slot] = []
+        self._slot_prompt[slot] = None
         self._slot_req[slot] = None
         # park the slot on the trash block at length 0 so its junk decode
         # writes stay out of live blocks
@@ -279,27 +578,42 @@ class PagedEngine:
 
     @property
     def blocks_in_use(self) -> int:
-        """Allocated blocks (excluding the reserved trash block)."""
-        return self.num_blocks - 1 - len(self._free)
+        """Blocks held by live requests (excludes the reserved trash block
+        and idle cached prefix blocks)."""
+        cached_idle = sum(
+            1 for r in self._prefix_map.values() if self._refs[r] == 0
+        )
+        return self.num_blocks - 1 - len(self._free) - cached_idle
 
     def step(self) -> bool:
         self._admit()
         active = [s for s in range(self.num_slots) if self._slot_req[s] is not None]
         if not active:
             return bool(self._queue)
-        nxt, self._kp, self._vp = self._decode(
-            self.params, self._kp, self._vp,
-            jnp.asarray(self._tables), jnp.asarray(self._lengths),
-            jnp.asarray(self._last[:, None]),
-        )
+        if all(self._temp[s] <= 0 for s in active):
+            nxt, self._kp, self._vp = self._decode_greedy(
+                self.params, self._kp, self._vp,
+                jnp.asarray(self._tables), jnp.asarray(self._lengths),
+                jnp.asarray(self._last[:, None]),
+            )
+        else:
+            nxt, self._kp, self._vp = self._decode(
+                self.params, self._kp, self._vp,
+                jnp.asarray(self._tables), jnp.asarray(self._lengths),
+                jnp.asarray(self._last[:, None]),
+                self._key, jnp.asarray(self._gen_count),
+                jnp.asarray(self._temp), jnp.asarray(self._top_k),
+                jnp.asarray(self._top_p), jnp.asarray(self._seeds),
+            )
         nxt = np.asarray(nxt)
         for s in active:
             self._lengths[s] += 1
+            self._gen_count[s] += 1
             self._record(s, int(nxt[s]))
         return True
 
     def run(self) -> dict[int, list]:
         while self.step():
             pass
-        out, self._out = self._out, {}
+        out, self._finished = self._finished, {}
         return out

@@ -128,6 +128,7 @@ def tune_config(
     iters: int = 30,
     use_memo: bool = True,
     verify: bool = True,
+    verbose: bool = False,
 ) -> KernelConfig:
     """Benchmark candidate configs for (M, N, K, b, g, dtype) on the current
     device, verify the winner against a host oracle, and return the fastest
@@ -168,9 +169,17 @@ def tune_config(
 
     fns = {}
     timed = []
-    for cfg in candidates:
+    for ci, cfg in enumerate(candidates):
         if cfg.split_k != 1:
             continue  # split-K path handled by XLA partials; not yet swept
+        if verbose:
+            # one line per candidate so an outer watchdog (e.g.
+            # scripts/registry_marathon.sh) can distinguish a slow-but-live
+            # sweep from a wedged tunnel compile by log growth
+            print(
+                f"    cand {ci + 1}/{len(candidates)} {cfg.key()} ...",
+                flush=True,
+            )
         try:
             def f(x_, planes_=planes, scales_=scales, table_=table, c=cfg):
                 return lut_gemm.lut_qgemm(
@@ -183,6 +192,8 @@ def tune_config(
             continue  # unsupported on this chip — skip, like tune.py:160-167
         fns[cfg.key()] = f
         timed.append((t, cfg))
+        if verbose:
+            print(f"      {t * 1e6:9.1f} us", flush=True)
 
     # Re-measure the screening top 5 best-of-3 at a longer window: single
     # slope measurements carry +-2-3 pt tunnel noise (r2 verdict weak #1),

@@ -39,6 +39,20 @@ def test_native_unpack_roundtrip(lib_available, num_bits):
     np.testing.assert_array_equal(back_numpy, codes)
 
 
+@pytest.mark.parametrize("chunk", [256, 512])
+def test_native_w3_wide_matches_numpy(lib_available, chunk):
+    rng = np.random.default_rng(3)
+    k, n = 1024, 384
+    codes = rng.integers(0, 8, (k, n), dtype=np.int32)
+    (got,) = packing.pack_w3_wide_np(codes, chunk=chunk, use_native=True)
+    (want,) = packing.pack_w3_wide_np(codes, chunk=chunk, use_native=False)
+    np.testing.assert_array_equal(got, want)
+    back_native = packing.unpack_w3_wide_np(got, chunk=chunk, use_native=True)
+    back_numpy = packing.unpack_w3_wide_np(got, chunk=chunk, use_native=False)
+    np.testing.assert_array_equal(back_native, codes)
+    np.testing.assert_array_equal(back_numpy, codes)
+
+
 @pytest.mark.slow
 def test_native_throughput_sane(lib_available):
     """Native pack of a 4096x4096 4-bit matrix should beat numpy."""

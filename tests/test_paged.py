@@ -34,6 +34,31 @@ def test_kernel_matches_reference(hkv, h):
     assert err.max() / denom < 1.1e-2
 
 
+def test_kernel_softcap_and_window_match_reference():
+    """Gemma-2 kernel variants: tanh logit softcap and sliding window
+    (incl. window edges inside and across block boundaries)."""
+    rng = np.random.default_rng(2)
+    B, h, hkv, D, BS, MB, NB = 3, 8, 2, 128, 16, 4, 16
+    q = jnp.asarray(rng.standard_normal((B, h, D)), jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((NB, hkv, BS, D)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((NB, hkv, BS, D)), jnp.bfloat16)
+    tables = jnp.asarray(
+        rng.permutation(NB)[: B * MB].reshape(B, MB), jnp.int32
+    )
+    lengths = jnp.asarray([37, 16, 64], jnp.int32)
+    for softcap, window in [(50.0, None), (None, 10), (30.0, 24), (50.0, 3)]:
+        want = paged_gqa_reference(
+            q, kp, vp, tables, lengths, softcap=softcap, window=window
+        )
+        got = paged_decode_attention(
+            q, kp, vp, tables, lengths,
+            softcap=softcap, window=window, interpret=True,
+        )
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+        denom = max(np.abs(np.asarray(want, np.float32)).max(), 1e-6)
+        assert err.max() / denom < 1.1e-2, (softcap, window)
+
+
 def test_kernel_zero_length_slot_is_finite():
     """A parked slot (length 0, trash table) must produce finite output."""
     rng = np.random.default_rng(1)
@@ -99,6 +124,91 @@ def test_pool_pressure_queues_and_completes(tiny_q):
     assert eng.blocks_in_use == 0
 
 
+def test_paged_gemma2_matches_dense_engine():
+    """Gemma-2 through the paged pool (softcap + sliding-window kernel
+    variants, sandwich norms, GeGLU) equals the dense-cache Engine. The
+    tiny config's window (8) is small enough that decode crosses it."""
+    from flute_tpu.models import gemma2
+
+    config = gemma2.Gemma2Config.tiny()
+    params = gemma2.init_params(config, rng=0)
+    qparams = gemma2.quantize_model(params, num_bits=4, group_size=64)
+    prompts = [[3, 17, 42, 9], [11, 5, 8, 1, 13, 2]]
+    n = 8
+    dense = Engine(
+        params=qparams, config=config, max_len=64, batch_size=len(prompts),
+        forward=gemma2.forward, init_cache=gemma2.init_cache,
+    )
+    want = dense.generate(prompts, max_new_tokens=n)
+
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=10, max_len=32,
+    )
+    rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
+    out = eng.run()
+    assert [out[r] for r in rids] == want
+    assert eng.blocks_in_use == 0
+
+
+def test_paged_sampled_topk1_matches_greedy(tiny_q):
+    """temperature>0 with top_k=1 collapses to argmax — must reproduce the
+    greedy stream exactly through the sampled decode path."""
+    config, qparams = tiny_q
+    prompts = [[3, 17, 42, 9], [11, 5]]
+    n = 6
+    greedy = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=8, max_len=32,
+    )
+    rids = [greedy.submit(p, max_new_tokens=n) for p in prompts]
+    gout = greedy.run()
+    want = [gout[r] for r in rids]
+
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=8, max_len=32,
+    )
+    rids = [
+        eng.submit(p, max_new_tokens=n, temperature=1.0, top_k=1, seed=s)
+        for s, p in enumerate(prompts)
+    ]
+    out = eng.run()
+    assert [out[r] for r in rids] == want
+
+
+def test_paged_sampling_deterministic_and_greedy_isolated(tiny_q):
+    """Same seed twice -> identical sampled stream; a greedy request
+    sharing the batch with sampled neighbors is unaffected by them."""
+    config, qparams = tiny_q
+    sampled_prompt, greedy_prompt = [3, 17, 42, 9], [11, 5, 8]
+    n = 8
+
+    def run_pair(seed):
+        eng = PagedEngine(
+            params=qparams, config=config, num_slots=2,
+            block_size=8, num_blocks=10, max_len=32,
+        )
+        rs = eng.submit(
+            sampled_prompt, max_new_tokens=n,
+            temperature=0.9, top_k=0, top_p=1.0, seed=seed,
+        )
+        rg = eng.submit(greedy_prompt, max_new_tokens=n)
+        out = eng.run()
+        return out[rs], out[rg]
+
+    s0a, g0a = run_pair(seed=7)
+    s0b, g0b = run_pair(seed=7)
+    assert s0a == s0b and g0a == g0b  # per-seed determinism
+
+    solo = PagedEngine(
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=6, max_len=32,
+    )
+    rg = solo.submit(greedy_prompt, max_new_tokens=n)
+    assert solo.run()[rg] == g0a  # greedy stream independent of neighbors
+
+
 def test_submit_guards(tiny_q):
     config, qparams = tiny_q
     eng = PagedEngine(
@@ -107,3 +217,78 @@ def test_submit_guards(tiny_q):
     )
     with pytest.raises(ValueError):
         eng.submit(list(range(12)), max_new_tokens=8)  # > max_len
+
+
+def test_pool_prefix_sharing_exact_and_counted(tiny_q):
+    """Two requests sharing a 2-block system prefix: the second reuses the
+    first's pool blocks by reference (zero prefill for the shared run) and
+    its output equals a cold run. Blocks are refcounted and returned."""
+    config, qparams = tiny_q
+    system = list(range(1, 17))  # exactly 2 blocks of 8
+    p_a = system + [21, 22, 23]
+    p_b = system + [31, 32]
+    n = 6
+
+    cold = PagedEngine(
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=12, max_len=48,
+    )
+    rb = cold.submit(p_b, max_new_tokens=n)
+    want_b = cold.run()[rb]
+
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=12, max_len=48,
+        prefix_cache_blocks=4,
+    )
+    ra = eng.submit(p_a, max_new_tokens=n)
+    out_a = eng.run()[ra]
+    assert eng.prefix_hits == 0
+    rb = eng.submit(p_b, max_new_tokens=n)
+    out_b = eng.run()[rb]
+    assert out_b == want_b
+    assert eng.prefix_hits == 1 and eng.prefix_block_hits == 2
+    assert eng.blocks_in_use == 0
+
+    # a third request with the same prefix hits again — shared rows were
+    # re-donated, not freed
+    rc = eng.submit(system + [41], max_new_tokens=n)
+    eng.run()
+    assert eng.prefix_hits == 2
+
+    # and a cold-equivalent rerun of p_a through the warm engine matches
+    ra2 = eng.submit(p_a, max_new_tokens=n)
+    assert eng.run()[ra2] == out_a
+
+
+def test_pool_prefix_eviction_under_pressure(tiny_q):
+    """Cached zero-ref blocks are evicted LRU when the free list runs dry;
+    live shared blocks are never evicted (pinned before allocation)."""
+    config, qparams = tiny_q
+    n = 4
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=8,  # 7 usable
+        max_len=48, prefix_cache_blocks=8,
+    )
+    # request 1: 2-block prompt -> donates 2 cached blocks
+    p1 = list(range(1, 17)) + [99]
+    eng.submit(p1, max_new_tokens=n)
+    eng.run()
+    cached_before = len(eng._prefix_map)
+    assert cached_before >= 2
+    # request 2: large block need forces eviction of request 1's cached rows
+    p2 = list(range(50, 50 + 33))  # 33 tokens + budget -> ~5-6 blocks
+    r2 = eng.submit(p2, max_new_tokens=n)
+    out = eng.run()
+    assert len(out[r2]) == n
+    assert eng.blocks_in_use == 0
+    # rerun p1: must still be correct whether or not its cache survived
+    r1b = eng.submit(p1, max_new_tokens=n)
+    out1b = eng.run()[r1b]
+    cold = PagedEngine(
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=8, max_len=48,
+    )
+    r1c = cold.submit(p1, max_new_tokens=n)
+    assert cold.run()[r1c] == out1b

@@ -149,3 +149,48 @@ def test_gemma2_server():
     finally:
         srv.shutdown()
         srv.loop.shutdown()
+
+
+def test_paged_engine_server():
+    """The HTTP server runs over PagedEngine (block-pool KV): streaming,
+    per-request sampling, and completion all ride the same ServingLoop
+    duck-type (token_callback + _finished + submit(sampling=...))."""
+    from flute_tpu.serving.paged import PagedEngine
+
+    config = llama.LlamaConfig.tiny()
+    params = llama.init_params(config, rng=0)
+    qparams = llama.quantize_model(params, num_bits=4, group_size=64)
+    dense = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=2, max_len=32
+    )
+    srv_d = serve(dense, port=0)
+    try:
+        _, want = _post(srv_d, {"prompt": [1, 5, 9], "max_tokens": 4})
+    finally:
+        srv_d.shutdown()
+        srv_d.loop.shutdown()
+
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=10, max_len=32,
+    )
+    srv = serve(eng, port=0)
+    try:
+        code, out = _post(srv, {"prompt": [1, 5, 9], "max_tokens": 4})
+        assert code == 200 and out["tokens"] == want["tokens"]
+        # streaming over the paged engine
+        port = srv.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": [1, 5, 9], "max_tokens": 4,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            records = [json.loads(line) for line in r if line.strip()]
+        toks = [rec["token"] for rec in records if "token" in rec]
+        assert records[-1].get("done") is True
+        assert toks == want["tokens"]
+    finally:
+        srv.shutdown()
+        srv.loop.shutdown()
