@@ -218,14 +218,13 @@ def _cmd_serve(args):
     if args.paged:
         from flute_tpu.serving.paged import PagedEngine
 
-        if mesh is not None:
-            raise SystemExit("--paged does not compose with --tp yet")
         eng = PagedEngine(
             params=params, config=config,
             forward=fwd, init_cache=init_cache,
             num_slots=args.num_slots, max_len=args.max_len,
             block_size=args.block_size, num_blocks=args.num_blocks,
             eos_id=getattr(tok, "eos_token_id", None),
+            mesh=mesh,
         )
     else:
         eng = ContinuousBatchingEngine(

@@ -45,6 +45,20 @@ ROW_PARALLEL = ("o", "down")
 FUSED_KEYS = ("qkv", "gate_up")
 
 
+def get_shard_map():
+    """shard_map with replication checking off, across jax versions (the
+    packed-weight trees carry QuantizedLinear pytrees whose leaves defeat
+    the static replication checker)."""
+    try:
+        from jax import shard_map as _sm
+
+        return functools.partial(_sm, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return functools.partial(_sm, check_rep=False)
+
+
 def fused_member_widths(config, key: str) -> tuple[int, ...]:
     """Output-column widths of each member of a fused projection."""
     if key == "qkv":
@@ -311,14 +325,7 @@ def tp_forward_fn(config, mesh: Mesh, params_specs: Any, *, forward=None):
     heads/features over tp. Collectives (two psums per block) ride the
     mesh's ICI links.
     """
-    try:
-        from jax import shard_map as _sm
-
-        shard_map = functools.partial(_sm, check_vma=False)
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map as _sm
-
-        shard_map = functools.partial(_sm, check_rep=False)
+    shard_map = get_shard_map()
 
     from flute_tpu.models import llama
 
@@ -355,14 +362,7 @@ def tp_model_forward(config, mesh: Mesh, params_specs: Any, *, base_forward=None
     (serving TP: every rank computes the whole batch on its head/feature
     shard; two psums per block ride ICI).
     """
-    try:
-        from jax import shard_map as _sm
-
-        _shard_map = functools.partial(_sm, check_vma=False)
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map as _sm
-
-        _shard_map = functools.partial(_sm, check_rep=False)
+    _shard_map = get_shard_map()
 
     from flute_tpu.models import llama
 

@@ -87,6 +87,14 @@ class PagedEngine:
     # Refcounts protect live blocks; unreferenced cached blocks are the
     # first evicted (LRU) under pool pressure. 0 = off.
     prefix_cache_blocks: int = 0
+    # Tensor-parallel serving (same contract as ContinuousBatchingEngine):
+    # a Mesh with a "tp" axis shard_maps the paged decode step (pools
+    # sharded over KV heads, two psums per block) and the dense prefill;
+    # params get sharded in __post_init__. Pass fused params already
+    # rank-major permuted (parallel.permute_fused_params) — vLLM serves
+    # PagedAttention + TP together; so does this engine.
+    mesh: Any = None
+    params_specs: Any = None
 
     def __post_init__(self):
         cfg = self.config
@@ -98,6 +106,21 @@ class PagedEngine:
                 _family = llama
             self.forward = self.forward or _family.forward
             self.init_cache = self.init_cache or _family.init_cache
+        if self.mesh is not None:
+            from flute_tpu.parallel import (
+                llama_partition_specs,
+                shard_params,
+                tp_model_forward,
+            )
+
+            if self.params_specs is None:
+                self.params_specs = llama_partition_specs(self.params)
+            self.params = shard_params(self.params, self.mesh, self.params_specs)
+            # the dense-prefill path closes over self.forward — swap in the
+            # TP wrapper before any prefill fn is built
+            self.forward = tp_model_forward(
+                cfg, self.mesh, self.params_specs, base_forward=self.forward
+            )
         bs = self.block_size
         if self.max_len % bs:
             raise ValueError(f"max_len {self.max_len} % block {bs} != 0")
@@ -105,6 +128,14 @@ class PagedEngine:
         shape = (self.num_blocks, cfg.num_kv_heads, bs, cfg.head_dim)
         self._kp = [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.num_layers)]
         self._vp = [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.num_layers)]
+        if self.mesh is not None:
+            # place pools head-sharded up front so the donated decode pools
+            # are in steady-state layout from step one
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pool_sh = NamedSharding(self.mesh, P(None, "tp", None, None))
+            self._kp = [jax.device_put(a, pool_sh) for a in self._kp]
+            self._vp = [jax.device_put(a, pool_sh) for a in self._vp]
         self._tables = np.zeros((self.num_slots, self.max_blocks), np.int32)
         self._lengths = np.zeros((self.num_slots,), np.int32)
         # block 0 is the trash block: inactive slots' table rows point at
@@ -144,7 +175,9 @@ class PagedEngine:
         cfg = self.config
         bs = self.block_size
 
-        def paged_forward_gemma2(params, kp, vp, tables, lengths, tokens):
+        def paged_forward_gemma2(
+            params, kp, vp, tables, lengths, tokens, axis_name=None
+        ):
             """Gemma-2 paged T=1 forward: sandwich norms, GeGLU, embed
             scaling, alternating sliding/global attention (softcap + window
             handled inside the paged kernel), final logit softcap."""
@@ -190,6 +223,8 @@ class PagedEngine:
                     window=cfg.sliding_window if li % 2 == 0 else None,
                 )
                 o = apply_linear(layer["o"], attn.reshape(b, 1, -1))
+                if axis_name is not None:
+                    o = jax.lax.psum(o, axis_name)
                 o = rms_norm_gemma(o, layer["post_attn_norm"], eps)
                 x = x + o
                 h2 = rms_norm_gemma(x, layer["mlp_norm"], eps)
@@ -203,6 +238,8 @@ class PagedEngine:
                 down = apply_linear(
                     layer["down"], jax.nn.gelu(gate, approximate=True) * up
                 )
+                if axis_name is not None:
+                    down = jax.lax.psum(down, axis_name)
                 down = rms_norm_gemma(down, layer["post_mlp_norm"], eps)
                 x = x + down
                 new_kp.append(kpl)
@@ -223,7 +260,9 @@ class PagedEngine:
             logits = jnp.tanh(logits / cap) * cap
             return logits[:, -1], new_kp, new_vp
 
-        def paged_forward_llama(params, kp, vp, tables, lengths, tokens):
+        def paged_forward_llama(
+            params, kp, vp, tables, lengths, tokens, axis_name=None
+        ):
             """One paged T=1 forward for every slot (inactive slots compute
             on junk at their frozen position — harmless, masked by the
             host-side slot bookkeeping). Returns last-token logits and the
@@ -262,6 +301,8 @@ class PagedEngine:
                     q[:, 0], kpl, vpl, tables, att_len
                 )
                 o = apply_linear(layer["o"], attn.reshape(b, 1, -1))
+                if axis_name is not None:
+                    o = jax.lax.psum(o, axis_name)
                 x = x + o
                 h2 = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
                 if "gate_up" in layer:
@@ -274,6 +315,8 @@ class PagedEngine:
                 down = apply_linear(
                     layer["down"], jax.nn.silu(gate) * up
                 )
+                if axis_name is not None:
+                    down = jax.lax.psum(down, axis_name)
                 x = x + down
                 new_kp.append(kpl)
                 new_vp.append(vpl)
@@ -298,6 +341,30 @@ class PagedEngine:
         paged_forward = (
             paged_forward_gemma2 if self._is_gemma2 else paged_forward_llama
         )
+        if self.mesh is not None:
+            # Megatron TP over the paged step: pools sharded over KV heads,
+            # q/k/v/gate/up column-parallel, o/down row-parallel (psums
+            # above), tables/lengths/tokens/logits replicated. The paged
+            # kernel runs per-rank on its local head shard unchanged —
+            # GQA ratio and block layout are head-count-invariant.
+            from jax.sharding import PartitionSpec as P
+
+            from flute_tpu.parallel.tp import get_shard_map
+
+            base_forward = paged_forward
+            pool_spec = [P(None, "tp", None, None)] * cfg.num_layers
+
+            @functools.partial(
+                get_shard_map(),
+                mesh=self.mesh,
+                in_specs=(self.params_specs, pool_spec, pool_spec,
+                          P(), P(), P()),
+                out_specs=(P(), pool_spec, pool_spec),
+            )
+            def paged_forward(params, kp, vp, tables, lengths, tokens):
+                return base_forward(
+                    params, kp, vp, tables, lengths, tokens, axis_name="tp"
+                )
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def decode_step_greedy(params, kp, vp, tables, lengths, tokens):

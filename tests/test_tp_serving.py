@@ -135,3 +135,34 @@ def test_fused_member_widths(tiny_fused):
     assert fused_member_widths(config, "gate_up") == (
         config.intermediate_size, config.intermediate_size
     )
+
+
+@pytest.mark.slow
+def test_paged_engine_tp_fused_matches_single_device(tiny_fused):
+    """PagedEngine under a tp=2 mesh (pools sharded over KV heads, fused
+    layouts rank-major permuted) reproduces the single-device paged
+    stream — vLLM's PagedAttention+TP composition, on the CPU mesh."""
+    from flute_tpu.serving.paged import PagedEngine
+
+    config, qparams = tiny_fused
+    reqs = [([5, 9, 2, 7], 6), ([11, 3], 5)]
+
+    eng1 = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=10, max_len=32,
+    )
+    rids1 = [eng1.submit(p, max_new_tokens=m) for p, m in reqs]
+    out1 = eng1.run()
+
+    mesh = make_mesh(tp=2, dp=1)
+    pparams = permute_fused_params(qparams, config, tp=2)
+    eng_tp = PagedEngine(
+        params=pparams, config=config, num_slots=2,
+        block_size=8, num_blocks=10, max_len=32, mesh=mesh,
+    )
+    rids_tp = [eng_tp.submit(p, max_new_tokens=m) for p, m in reqs]
+    out_tp = eng_tp.run()
+
+    for r1, r2 in zip(rids1, rids_tp):
+        assert out1[r1] == out_tp[r2]
+    assert eng_tp.blocks_in_use == 0
