@@ -117,7 +117,17 @@ def _cmd_generate(args):
             k=args.speculate_k, forward=fwd, init_cache=init_cache,
             max_len=args.max_len, batch_size=1,
         )
-        out = eng.generate([ids], max_new_tokens=args.max_new_tokens)
+        sampling = None
+        if args.temperature > 0:
+            from flute_tpu.serving.continuous import SamplingParams
+
+            sampling = SamplingParams(
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p, seed=args.seed,
+            )
+        out = eng.generate(
+            [ids], max_new_tokens=args.max_new_tokens, sampling=sampling
+        )
         print(
             f"# speculative: {eng.stats.rounds} rounds, "
             f"{eng.stats.acceptance_rate:.0%} acceptance",
@@ -128,7 +138,15 @@ def _cmd_generate(args):
             params=params, config=config, forward=fwd, init_cache=init_cache,
             max_len=args.max_len, batch_size=1,
         )
-        out = eng.generate([ids], max_new_tokens=args.max_new_tokens)
+        import jax
+
+        out = eng.generate(
+            [ids], max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature,
+            top_k=args.top_k or None,
+            top_p=args.top_p if args.top_p < 1.0 else None,
+            rng=jax.random.PRNGKey(args.seed),
+        )
     if tok is not None:
         print(tok.decode(out[0]))
     else:
@@ -284,6 +302,16 @@ def main(argv=None):
                         "quantization of the same model)")
     g.add_argument("--speculate-k", type=int, default=4,
                    help="draft proposals per verify round")
+    g.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature (0 = greedy); with "
+                        "--draft-checkpoint this selects speculative "
+                        "sampling (distribution-exact rejection verify)")
+    g.add_argument("--top-k", type=int, default=0,
+                   help="top-k filter (0 = off)")
+    g.add_argument("--top-p", type=float, default=1.0,
+                   help="nucleus filter (1.0 = off)")
+    g.add_argument("--seed", type=int, default=0,
+                   help="sampling seed (deterministic per seed)")
     g.set_defaults(fn=_cmd_generate)
 
     c = sub.add_parser("calibrate", help="NFL learned-scale calibration")

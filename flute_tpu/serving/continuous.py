@@ -35,11 +35,15 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
-def _sample_row(key, logits, temperature, top_k, top_p):
-    """Per-slot sampling with runtime parameters (vmapped across slots so
-    one compiled decode step serves mixed per-request settings — the role
-    of vLLM's per-sequence SamplingParams). temperature <= 0 means greedy;
-    top_k <= 0 and top_p >= 1 disable those filters."""
+def _warp_logits(logits, temperature, top_k, top_p):
+    """Apply temperature / top-k / nucleus filters to one [V] logits row,
+    returning warped logits whose softmax IS the sampling distribution.
+    temperature <= 0 collapses to a one-hot mass at the unwarped argmax
+    (greedy as the zero-temperature limit); top_k <= 0 and top_p >= 1
+    disable those filters. Shared by per-slot sampling (_sample_row) and
+    speculative sampling (serving/speculative.py), which needs the same
+    warp applied to draft and target distributions for its acceptance
+    rule to preserve the target distribution exactly."""
     v = logits.shape[-1]
     greedy = temperature <= 0.0
     t = jnp.where(greedy, 1.0, temperature)
@@ -54,8 +58,22 @@ def _sample_row(key, logits, temperature, top_k, top_p):
     cutoff_idx = jnp.sum(cum < top_p)
     cutoff = sorted_f[jnp.clip(cutoff_idx, 0, v - 1)]
     lg = jnp.where((top_p < 1.0) & (lg < cutoff), -jnp.inf, lg)
-    sampled = jax.random.categorical(key, lg)
-    return jnp.where(greedy, jnp.argmax(logits), sampled).astype(jnp.int32)
+    onehot = jnp.where(
+        jnp.arange(v) == jnp.argmax(logits), 0.0, -jnp.inf
+    )
+    return jnp.where(greedy, onehot, lg)
+
+
+def _sample_row(key, logits, temperature, top_k, top_p):
+    """Per-slot sampling with runtime parameters (vmapped across slots so
+    one compiled decode step serves mixed per-request settings — the role
+    of vLLM's per-sequence SamplingParams). temperature <= 0 means greedy;
+    top_k <= 0 and top_p >= 1 disable those filters."""
+    lg = _warp_logits(logits, temperature, top_k, top_p)
+    # categorical on the greedy one-hot row returns its single finite
+    # entry, so one code path serves both modes; the key is consumed
+    # identically to the pre-refactor code (same sampled streams)
+    return jax.random.categorical(key, lg).astype(jnp.int32)
 
 
 _sample_slots = jax.vmap(_sample_row)

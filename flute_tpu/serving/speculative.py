@@ -16,6 +16,22 @@ next step a vLLM user expects, ROADMAP "Serving"). TPU-first design:
     emitted stream is therefore always the target model's greedy
     choice under its verify forward — a wrong draft can only cost
     speed, never change output.
+  * **Speculative sampling** (``generate(..., sampling=...)``): the
+    draft *samples* proposals from its warped distribution q and the
+    target verifies by rejection sampling — accept proposal x_j with
+    probability min(1, p_j(x_j)/q_j(x_j)); on first rejection, emit a
+    correction drawn from the residual max(p_j - q_j, 0) (normalized).
+    The emitted stream is then distributed EXACTLY as target sampling
+    (the modified-rejection-sampling theorem), with temperature/top-k/
+    top-p warps applied identically to p and q
+    (serving/continuous._warp_logits). Proposal randomness is keyed as
+    (request seed, tokens generated) — the engines' shared scheme — so
+    with draft == target every proposal is accepted and the stream is
+    bit-identical to the plain engines' sampled stream with the same
+    seed. Acceptance draws and residual draws fold one extra tag so
+    they are independent of the proposal stream. The accept/residual
+    computation is one jitted static-shape kernel (no [V]-sized host
+    transfer).
   * **No bonus token on full acceptance**: when all k proposals are
     accepted we do NOT emit the target's k+1-th token. This keeps the
     draft cache exactly one token behind the emission point in every
@@ -41,6 +57,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from flute_tpu.models import llama
+from flute_tpu.serving.continuous import (
+    SamplingParams,
+    _sample_slots,
+    _warp_logits,
+)
 
 
 @dataclasses.dataclass
@@ -103,10 +124,95 @@ class SpeculativeEngine:
             logits, cache = fwd(params, tc, toks, cache, pos_vec, offsets)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
+        k = self.k
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill_t_sampled(params, tokens, cache, offsets,
+                              key, seeds, temp, top_k, top_p):
+            logits, cache = fwd(params, tc, tokens, cache, jnp.int32(0), offsets)
+            # first generated token = draw 0 of the request's stream —
+            # the same (seed, count) fold every engine uses
+            keys = jax.vmap(
+                lambda s: jax.random.fold_in(jax.random.fold_in(key, s), 0)
+            )(seeds)
+            nxt = _sample_slots(keys, logits[:, -1], temp, top_k, top_p)
+            return nxt, cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def draft_step_sampled(params, tok, cache, pos_vec, offsets,
+                               key, seeds, gen, temp, top_k, top_p):
+            logits, cache = fwd(params, dc, tok, cache, pos_vec, offsets)
+            warped = jax.vmap(_warp_logits)(logits[:, -1], temp, top_k, top_p)
+            # proposal key = fold(fold(key, seed), count): IDENTICAL to the
+            # plain engines' per-token scheme, so draft == target => the
+            # sampled stream is bit-identical to non-speculative sampling
+            keys = jax.vmap(
+                lambda s, c: jax.random.fold_in(jax.random.fold_in(key, s), c)
+            )(seeds, gen)
+            nxt = jax.vmap(jax.random.categorical)(keys, warped)
+            return nxt.astype(jnp.int32), jax.nn.softmax(warped), cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def verify_step_sampled(params, toks, cache, pos_vec, offsets,
+                                temp, top_k, top_p):
+            # toks [B, k+1]; p_j = warped target dist after consuming
+            # [last, x_0..x_{j-1}] — positions 0..k-1 (position k would
+            # only feed a bonus token, which this engine never emits)
+            logits, cache = fwd(params, tc, toks, cache, pos_vec, offsets)
+            warped = jax.vmap(
+                lambda rows, t, tk, tp: jax.vmap(
+                    lambda r: _warp_logits(r, t, tk, tp)
+                )(rows)
+            )(logits[:, :k].astype(jnp.float32), temp, top_k, top_p)
+            return jax.nn.softmax(warped), cache
+
+        @jax.jit
+        def accept_fn(key, seeds, gen, proposals, p_probs, q_probs):
+            """Modified rejection sampling (per slot, static shapes):
+            accept x_j while u_j < p_j(x_j)/q_j(x_j); at the first
+            rejection sample the correction from max(p_j - q_j, 0).
+            Returns (accepted count a [B], correction token [B] — valid
+            only when a < k)."""
+
+            def per_slot(seed, g, props, p, q):
+                jj = jnp.arange(k)
+                px = p[jj, props]
+                qx = jnp.maximum(q[jj, props], 1e-30)
+                base = jax.random.fold_in(key, seed)
+                # u_j: proposal key folded once more => independent of the
+                # draw that produced x_j
+                u = jax.vmap(
+                    lambda j: jax.random.uniform(
+                        jax.random.fold_in(jax.random.fold_in(base, g + j), 1)
+                    )
+                )(jj)
+                acc = u < (px / qx)
+                a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))
+                ai = jnp.minimum(a, k - 1)  # gather-safe; unused when a == k
+                res = jnp.maximum(p[ai] - q[ai], 0.0)
+                mass = jnp.sum(res)
+                # p <= q everywhere can only co-occur with acceptance-prob-1
+                # draws in exact arithmetic; numerically, fall back to p
+                res = jnp.where(mass > 1e-12, res / mass, p[ai])
+                rkey = jax.random.fold_in(
+                    jax.random.fold_in(base, g + a), 2
+                )
+                corr = jax.random.categorical(
+                    rkey, jnp.log(jnp.maximum(res, 1e-30))
+                )
+                return a.astype(jnp.int32), corr.astype(jnp.int32)
+
+            return jax.vmap(per_slot)(seeds, gen, proposals, p_probs, q_probs)
+
         self._prefill_t = prefill_t
         self._prefill_d = prefill_d
         self._draft = draft_step
         self._verify = verify_step
+        self._prefill_t_sampled = prefill_t_sampled
+        self._draft_sampled = draft_step_sampled
+        self._verify_sampled = verify_step_sampled
+        self._accept = accept_fn
+        self._key = jax.random.PRNGKey(0)
         self.stats = SpecStats()
 
     def generate(
@@ -114,11 +220,36 @@ class SpeculativeEngine:
         prompts: Sequence[Sequence[int]],
         max_new_tokens: int = 32,
         eos_id: Optional[int] = None,
+        sampling: Optional[SamplingParams | Sequence[SamplingParams]] = None,
     ) -> list[list[int]]:
+        """Generate greedily (``sampling=None``) or by speculative
+        sampling: pass one SamplingParams for the whole batch or one per
+        prompt. The sampled stream is distributed exactly as target-model
+        sampling and is deterministic per request seed."""
         b = self.batch_size
         if len(prompts) > b:
             raise ValueError(f"{len(prompts)} prompts > batch_size {b}")
         k = self.k
+        sampled = sampling is not None
+        if sampled:
+            if isinstance(sampling, SamplingParams):
+                sampling = [sampling] * len(prompts)
+            if len(sampling) != len(prompts):
+                raise ValueError(
+                    f"{len(sampling)} sampling params for {len(prompts)} prompts"
+                )
+            temp = np.zeros((b,), np.float32)
+            top_k = np.zeros((b,), np.int32)
+            top_p = np.ones((b,), np.float32)
+            seeds = np.zeros((b,), np.int32)
+            for i, sp in enumerate(sampling):
+                temp[i], top_k[i], top_p[i], seeds[i] = (
+                    sp.temperature, sp.top_k, sp.top_p, sp.seed
+                )
+            temp_j, top_k_j, top_p_j, seeds_j = map(
+                jnp.asarray, (temp, top_k, top_p, seeds)
+            )
+            gen = np.zeros((b,), np.int32)  # tokens sampled so far per slot
         plen = max(len(p) for p in prompts)
         bucket = 16
         while bucket < plen:
@@ -134,9 +265,16 @@ class SpeculativeEngine:
 
         t_cache = self.init_cache(self.target_config, b, self.max_len)
         d_cache = self.init_cache(self.draft_config, b, self.max_len)
-        first, t_cache = self._prefill_t(
-            self.target_params, jnp.asarray(toks), t_cache, offsets_j
-        )
+        if sampled:
+            first, t_cache = self._prefill_t_sampled(
+                self.target_params, jnp.asarray(toks), t_cache, offsets_j,
+                self._key, seeds_j, temp_j, top_k_j, top_p_j,
+            )
+            gen[:] = 1
+        else:
+            first, t_cache = self._prefill_t(
+                self.target_params, jnp.asarray(toks), t_cache, offsets_j
+            )
         d_cache = self._prefill_d(
             self.draft_params, jnp.asarray(toks), d_cache, offsets_j
         )
@@ -160,38 +298,67 @@ class SpeculativeEngine:
             if int(t_pos.max()) + k + 1 > self.max_len:
                 break
 
-            # -- draft phase: k sequential T=1 greedy proposals ----------
+            # -- draft phase: k sequential T=1 proposals ------------------
             proposals = np.zeros((b, k), np.int32)
+            q_steps = []  # sampled mode: per-step warped draft dists (device)
             tok = jnp.asarray(last[:, None])
             for j in range(k):
-                nxt, d_cache = self._draft(
-                    self.draft_params, tok, d_cache,
-                    jnp.asarray(d_pos + j), offsets_j,
-                )
+                if sampled:
+                    nxt, q_j, d_cache = self._draft_sampled(
+                        self.draft_params, tok, d_cache,
+                        jnp.asarray(d_pos + j), offsets_j,
+                        self._key, seeds_j, jnp.asarray(gen + j),
+                        temp_j, top_k_j, top_p_j,
+                    )
+                    q_steps.append(q_j)
+                else:
+                    nxt, d_cache = self._draft(
+                        self.draft_params, tok, d_cache,
+                        jnp.asarray(d_pos + j), offsets_j,
+                    )
                 proposals[:, j] = np.asarray(nxt)
                 tok = nxt[:, None]
             # draft consumed [last, p_0 .. p_{k-2}] at slots d_pos..d_pos+k-1
 
             # -- verify phase: one T=k+1 target forward ------------------
             verify_in = np.concatenate([last[:, None], proposals], axis=1)
-            greedy, t_cache = self._verify(
-                self.target_params, jnp.asarray(verify_in), t_cache,
-                jnp.asarray(t_pos), offsets_j,
-            )
-            greedy = np.asarray(greedy)  # [B, k+1]
+            if sampled:
+                p_probs, t_cache = self._verify_sampled(
+                    self.target_params, jnp.asarray(verify_in), t_cache,
+                    jnp.asarray(t_pos), offsets_j,
+                    temp_j, top_k_j, top_p_j,
+                )
+                a_vec, corr_vec = self._accept(
+                    self._key, seeds_j, jnp.asarray(gen),
+                    jnp.asarray(proposals),
+                    p_probs, jnp.stack(q_steps, axis=1),
+                )
+                a_vec = np.asarray(a_vec)
+                corr_vec = np.asarray(corr_vec)
+            else:
+                greedy, t_cache = self._verify(
+                    self.target_params, jnp.asarray(verify_in), t_cache,
+                    jnp.asarray(t_pos), offsets_j,
+                )
+                greedy = np.asarray(greedy)  # [B, k+1]
 
-            # -- acceptance (host) ---------------------------------------
+            # -- acceptance bookkeeping (host) ----------------------------
             for i in range(len(prompts)):
                 if done[i]:
                     continue
-                a = 0
-                while a < k and proposals[i, a] == greedy[i, a]:
-                    a += 1
+                if sampled:
+                    a = int(a_vec[i])
+                    correction = int(corr_vec[i])
+                else:
+                    a = 0
+                    while a < k and proposals[i, a] == greedy[i, a]:
+                        a += 1
+                    correction = int(greedy[i, min(a, k - 1)])
                 self.stats.proposed += k
                 self.stats.accepted += a
                 if a < k:
-                    emitted = list(proposals[i, :a]) + [int(greedy[i, a])]
-                    last[i] = int(greedy[i, a])
+                    emitted = list(proposals[i, :a]) + [correction]
+                    last[i] = correction
                     t_pos[i] += a + 1
                     d_pos[i] += a + 1
                 else:
@@ -201,6 +368,8 @@ class SpeculativeEngine:
                     last[i] = int(proposals[i, k - 1])
                     t_pos[i] += k
                     d_pos[i] += k
+                if sampled:
+                    gen[i] += a + 1 if a < k else k
                 for t in emitted:
                     if len(out[i]) >= max_new_tokens:
                         done[i] = True

@@ -123,3 +123,112 @@ def test_k1_equivalent_to_plain_decode(tiny_pair):
         k=1, max_len=96, batch_size=1,
     )
     assert eng.generate(prompts, max_new_tokens=8) == want
+
+
+def test_accept_preserves_target_distribution(tiny_pair):
+    """The modified-rejection-sampling theorem, empirically: with
+    proposals x ~ q, the emitted first token (x if accepted, else the
+    residual correction) must be distributed exactly as p — for ANY q.
+    8192 independent seeds through the jitted accept kernel; binomial
+    4-sigma tolerance per token."""
+    import jax
+    import jax.numpy as jnp
+
+    config, target, _ = tiny_pair
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=target, draft_config=config,
+        k=2, max_len=32, batch_size=1,
+    )
+    rng = np.random.default_rng(0)
+    V, B, k = 16, 8192, 2
+    p0 = rng.dirichlet(np.ones(V) * 0.3)
+    q0 = rng.dirichlet(np.ones(V) * 0.3)  # deliberately unrelated to p0
+    p = np.tile(p0.astype(np.float32), (B, k, 1))
+    q = np.tile(q0.astype(np.float32), (B, k, 1))
+    proposals = rng.choice(V, size=(B, k), p=q0).astype(np.int32)
+    seeds = np.arange(B, dtype=np.int32)
+    gen = np.ones((B,), np.int32)
+    a, corr = eng._accept(
+        jax.random.PRNGKey(0), jnp.asarray(seeds), jnp.asarray(gen),
+        jnp.asarray(proposals), jnp.asarray(p), jnp.asarray(q),
+    )
+    a, corr = np.asarray(a), np.asarray(corr)
+    first = np.where(a >= 1, proposals[:, 0], corr)
+    hist = np.bincount(first, minlength=V) / B
+    tol = 4 * np.sqrt(p0 * (1 - p0) / B) + 2e-3
+    assert (np.abs(hist - p0) <= tol).all(), np.abs(hist - p0) / tol
+    # expected acceptance prob at position 0: sum_x min(p, q)
+    acc0 = float((a >= 1).mean())
+    want_acc = float(np.minimum(p0, q0).sum())
+    assert abs(acc0 - want_acc) < 0.02
+
+
+@pytest.mark.slow
+def test_spec_sampled_draft_equals_target_matches_continuous(tiny_pair):
+    """draft == target: every proposal is accepted (p == q up to forward-
+    shape rounding) and the sampled stream matches the continuous
+    engine's for the same per-request seeds — the key fold schemes are
+    deliberately identical. Also determinism: same seeds, same output."""
+    from flute_tpu.serving import ContinuousBatchingEngine
+    from flute_tpu.serving.continuous import SamplingParams
+
+    config, target, _ = tiny_pair
+    prompts = [[3, 17, 42, 9], [11, 5]]
+    n = 10
+    sp = [
+        SamplingParams(temperature=0.9, top_k=0, top_p=1.0, seed=s + 5)
+        for s in range(2)
+    ]
+    cont = ContinuousBatchingEngine(
+        params=target, config=config, num_slots=2, max_len=96
+    )
+    rids = [cont.submit(p, max_new_tokens=n, sampling=s)
+            for p, s in zip(prompts, sp)]
+    res = cont.run()
+    want = [res[r] for r in rids]
+
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=target, draft_config=config,
+        k=3, max_len=96, batch_size=2,
+    )
+    got = eng.generate(prompts, max_new_tokens=n, sampling=sp)
+    assert got == want
+    assert eng.stats.acceptance_rate > 0.9
+    eng2 = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=target, draft_config=config,
+        k=3, max_len=96, batch_size=2,
+    )
+    assert eng2.generate(prompts, max_new_tokens=n, sampling=sp) == got
+
+
+@pytest.mark.slow
+def test_spec_sampled_topk1_matches_greedy(tiny_pair):
+    """top_k=1 at temperature 1 collapses both warped distributions to
+    one-hots; the rejection rule then reduces exactly to the greedy
+    acceptance path — outputs must be identical, even with a bad draft."""
+    from flute_tpu.serving.continuous import SamplingParams
+
+    config, target, draft = tiny_pair
+    prompts = [[3, 17, 42, 9], [11, 5]]
+    n = 10
+
+    eng_g = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=draft, draft_config=config,
+        k=3, max_len=96, batch_size=2,
+    )
+    want = eng_g.generate(prompts, max_new_tokens=n)
+
+    eng_s = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=draft, draft_config=config,
+        k=3, max_len=96, batch_size=2,
+    )
+    got = eng_s.generate(
+        prompts, max_new_tokens=n,
+        sampling=SamplingParams(temperature=1.0, top_k=1, seed=3),
+    )
+    assert got == want
