@@ -413,6 +413,59 @@ class PagedEngine:
             self._prefills[key] = prefill
         return self._prefills[key]
 
+    def _splice_fn(self, csize: int, nsh: int):
+        """Jitted splice of ``nsh`` shared pool blocks into the first
+        ``nsh * block`` columns of a ``csize``-column scratch cache — ONE
+        dispatch for all layers (the eager per-(layer, block) version cost
+        2 * L * nsh dispatches per admission)."""
+        key = ("splice", csize, nsh)
+        if key not in self._prefills:
+            bs = self.block_size
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def splice(kp, vp, scratch, rows):
+                for li in range(self.config.num_layers):
+                    for name, pool in (("k", kp), ("v", vp)):
+                        blk = pool[li][rows]  # [nsh, Hkv, bs, D]
+                        flat = jnp.swapaxes(blk, 0, 1).reshape(
+                            1, blk.shape[1], nsh * bs, blk.shape[3]
+                        )
+                        scratch[name][li] = (
+                            scratch[name][li]
+                            .at[:, :, : nsh * bs, :]
+                            .set(flat.astype(scratch[name][li].dtype))
+                        )
+                return scratch
+
+            self._prefills[key] = splice
+        return self._prefills[key]
+
+    def _scatter_fn(self, csize: int, nsh: int, m: int):
+        """Jitted scatter of scratch-cache blocks [nsh, nsh + m) into pool
+        rows ``rows`` [m] — one dispatch for all layers, pools donated."""
+        key = ("scatter", csize, nsh, m)
+        if key not in self._prefills:
+            bs = self.block_size
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def scatter(kp, vp, scratch, rows):
+                out_k, out_v = [], []
+                for li in range(self.config.num_layers):
+                    for src, pool, out in (
+                        (scratch["k"][li], kp[li], out_k),
+                        (scratch["v"][li], vp[li], out_v),
+                    ):
+                        seg = src[0, :, nsh * bs:(nsh + m) * bs, :]
+                        hkv, _, d = seg.shape
+                        blk = jnp.swapaxes(
+                            seg.reshape(hkv, m, bs, d), 0, 1
+                        )  # [m, Hkv, bs, D]
+                        out.append(pool.at[rows].set(blk.astype(pool.dtype)))
+                return out_k, out_v
+
+            self._prefills[key] = scatter
+        return self._prefills[key]
+
     def _sample_first(self, logits_row, sampling: SamplingParams) -> int:
         if "sample1" not in self._prefills:
             self._prefills["sample1"] = jax.jit(_sample_row)
@@ -556,18 +609,11 @@ class PagedEngine:
             while tb < rem:
                 tb *= 2
             scratch = self.init_cache(self.config, 1, csize)
-            for bi, row in enumerate(shared):
-                for li in range(self.config.num_layers):
-                    scratch["k"][li] = (
-                        scratch["k"][li]
-                        .at[0, :, bi * bs:(bi + 1) * bs, :]
-                        .set(self._kp[li][row].astype(scratch["k"][li].dtype))
-                    )
-                    scratch["v"][li] = (
-                        scratch["v"][li]
-                        .at[0, :, bi * bs:(bi + 1) * bs, :]
-                        .set(self._vp[li][row].astype(scratch["v"][li].dtype))
-                    )
+            if shared:
+                scratch = self._splice_fn(csize, len(shared))(
+                    self._kp, self._vp, scratch,
+                    jnp.asarray(np.asarray(shared, np.int32)),
+                )
             toks = np.full((1, tb), self.pad_id, np.int32)
             toks[0, :rem] = prompt[p0:]
             # right-pad: junk tail K/V is causally masked during prefill
@@ -577,21 +623,12 @@ class PagedEngine:
                 jnp.int32(p0), jnp.int32(rem - 1),
             )
             first = self._sample_first(last_row[0], sampling)
-            for bi in range(len(shared), self._blocks_needed(plen)):
-                row = blocks[bi]
-                for li in range(self.config.num_layers):
-                    kblk = jax.lax.dynamic_slice_in_dim(
-                        scratch["k"][li], bi * bs, bs, axis=2
-                    )[0]
-                    vblk = jax.lax.dynamic_slice_in_dim(
-                        scratch["v"][li], bi * bs, bs, axis=2
-                    )[0]
-                    self._kp[li] = self._kp[li].at[row].set(
-                        kblk.astype(self._kp[li].dtype)
-                    )
-                    self._vp[li] = self._vp[li].at[row].set(
-                        vblk.astype(self._vp[li].dtype)
-                    )
+            nsh = len(shared)
+            new_rows = blocks[nsh:self._blocks_needed(plen)]
+            self._kp, self._vp = self._scatter_fn(csize, nsh, len(new_rows))(
+                self._kp, self._vp, scratch,
+                jnp.asarray(np.asarray(new_rows, np.int32)),
+            )
             self._lengths[slot] = plen
             self._gen_count[slot] = 1  # next decode draw is generation 1
             self._record(slot, first)
