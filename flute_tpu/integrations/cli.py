@@ -243,6 +243,7 @@ def _cmd_serve(args):
             block_size=args.block_size, num_blocks=args.num_blocks,
             eos_id=getattr(tok, "eos_token_id", None),
             mesh=mesh,
+            prefill_chunk=args.prefill_chunk,
         )
     else:
         eng = ContinuousBatchingEngine(

@@ -95,6 +95,10 @@ class PagedEngine:
     # PagedAttention + TP together; so does this engine.
     mesh: Any = None
     params_specs: Any = None
+    # Prompts whose non-shared suffix exceeds this prefill in fixed-size
+    # chunks (bounded per-admission latency; same contract as
+    # ContinuousBatchingEngine.prefill_chunk). None = one bucketed call.
+    prefill_chunk: Optional[int] = None
 
     def __post_init__(self):
         cfg = self.config
@@ -605,23 +609,47 @@ class PagedEngine:
             csize = bs
             while csize < plen:
                 csize *= 2
-            tb = bs
-            while tb < rem:
-                tb *= 2
             scratch = self.init_cache(self.config, 1, csize)
             if shared:
                 scratch = self._splice_fn(csize, len(shared))(
                     self._kp, self._vp, scratch,
                     jnp.asarray(np.asarray(shared, np.int32)),
                 )
-            toks = np.full((1, tb), self.pad_id, np.int32)
-            toks[0, :rem] = prompt[p0:]
             # right-pad: junk tail K/V is causally masked during prefill
             # and lives past `lengths`, so paged attention never sees it
-            last_row, scratch = self._prefill_fn(csize, tb)(
-                self.params, jnp.asarray(toks), scratch,
-                jnp.int32(p0), jnp.int32(rem - 1),
-            )
+            chunk = self.prefill_chunk
+            if chunk is None or rem <= chunk:
+                tb = bs
+                while tb < rem:
+                    tb *= 2
+                toks = np.full((1, tb), self.pad_id, np.int32)
+                toks[0, :rem] = prompt[p0:]
+                last_row, scratch = self._prefill_fn(csize, tb)(
+                    self.params, jnp.asarray(toks), scratch,
+                    jnp.int32(p0), jnp.int32(rem - 1),
+                )
+            else:
+                # chunked prefill (bounded per-step latency, one compiled
+                # fn reused across chunks — continuous.py's contract):
+                # full chunks at exact positions, right-padded remainder
+                suffix = np.asarray(prompt[p0:], np.int32)
+                full = (rem // chunk) * chunk
+                rem_r = rem - full
+                for c0 in range(0, full, chunk):
+                    last_row, scratch = self._prefill_fn(csize, chunk)(
+                        self.params, jnp.asarray(suffix[None, c0:c0 + chunk]),
+                        scratch, jnp.int32(p0 + c0), jnp.int32(chunk - 1),
+                    )
+                if rem_r:
+                    rb = bs
+                    while rb < rem_r:
+                        rb *= 2
+                    rtoks = np.full((1, rb), self.pad_id, np.int32)
+                    rtoks[0, :rem_r] = suffix[full:]
+                    last_row, scratch = self._prefill_fn(csize, rb)(
+                        self.params, jnp.asarray(rtoks), scratch,
+                        jnp.int32(p0 + full), jnp.int32(rem_r - 1),
+                    )
             first = self._sample_first(last_row[0], sampling)
             nsh = len(shared)
             new_rows = blocks[nsh:self._blocks_needed(plen)]

@@ -177,6 +177,7 @@ def test_paged_sampled_topk1_matches_greedy(tiny_q):
     assert [out[r] for r in rids] == want
 
 
+@pytest.mark.slow
 def test_paged_sampling_deterministic_and_greedy_isolated(tiny_q):
     """Same seed twice -> identical sampled stream; a greedy request
     sharing the batch with sampled neighbors is unaffected by them."""
@@ -261,6 +262,7 @@ def test_pool_prefix_sharing_exact_and_counted(tiny_q):
     assert eng.run()[ra2] == out_a
 
 
+@pytest.mark.slow
 def test_pool_prefix_eviction_under_pressure(tiny_q):
     """Cached zero-ref blocks are evicted LRU when the free list runs dry;
     live shared blocks are never evicted (pinned before allocation)."""
@@ -292,3 +294,27 @@ def test_pool_prefix_eviction_under_pressure(tiny_q):
     )
     r1c = cold.submit(p1, max_new_tokens=n)
     assert cold.run()[r1c] == out1b
+
+
+def test_paged_chunked_prefill_matches_unchunked(tiny_q):
+    """prefill_chunk splits the prompt into fixed-size chunk forwards at
+    exact positions; the stream must equal the single-call prefill."""
+    config, qparams = tiny_q
+    prompts = [list(range(3, 24)), [11, 5]]  # 21 tokens -> 2 chunks + rem
+    n = 5
+    base = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=12, max_len=48,
+    )
+    rids = [base.submit(p, max_new_tokens=n) for p in prompts]
+    res = base.run()
+    want = [res[r] for r in rids]
+
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=12, max_len=48, prefill_chunk=8,
+    )
+    rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
+    res = eng.run()
+    assert [res[r] for r in rids] == want
+    assert eng.blocks_in_use == 0
