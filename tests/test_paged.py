@@ -151,6 +151,7 @@ def test_paged_gemma2_matches_dense_engine():
     assert eng.blocks_in_use == 0
 
 
+@pytest.mark.slow
 def test_paged_sampled_topk1_matches_greedy(tiny_q):
     """temperature>0 with top_k=1 collapses to argmax — must reproduce the
     greedy stream exactly through the sampled decode path."""
@@ -296,6 +297,7 @@ def test_pool_prefix_eviction_under_pressure(tiny_q):
     assert cold.run()[r1c] == out1b
 
 
+@pytest.mark.slow
 def test_paged_chunked_prefill_matches_unchunked(tiny_q):
     """prefill_chunk splits the prompt into fixed-size chunk forwards at
     exact positions; the stream must equal the single-call prefill."""

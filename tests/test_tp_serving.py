@@ -166,3 +166,34 @@ def test_paged_engine_tp_fused_matches_single_device(tiny_fused):
     for r1, r2 in zip(rids1, rids_tp):
         assert out1[r1] == out_tp[r2]
     assert eng_tp.blocks_in_use == 0
+
+
+@pytest.mark.slow
+def test_paged_engine_tp_gemma2_matches_single_device():
+    """Gemma-2 through the paged pool under tp=2: the softcap/sliding-
+    window kernel variants run per-rank on local head shards."""
+    from flute_tpu.models import gemma2
+    from flute_tpu.serving.paged import PagedEngine
+
+    config = gemma2.Gemma2Config.tiny()
+    params = gemma2.init_params(config, rng=0)
+    qparams = gemma2.quantize_model(params, num_bits=4, group_size=64)
+    prompts = [[3, 17, 42, 9], [11, 5, 8]]
+    n = 6
+
+    eng1 = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=10, max_len=32,
+    )
+    rids1 = [eng1.submit(p, max_new_tokens=n) for p in prompts]
+    out1 = eng1.run()
+
+    mesh = make_mesh(tp=2, dp=1)
+    eng_tp = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=10, max_len=32, mesh=mesh,
+    )
+    rids_tp = [eng_tp.submit(p, max_new_tokens=n) for p in prompts]
+    out_tp = eng_tp.run()
+    for r1, r2 in zip(rids1, rids_tp):
+        assert out1[r1] == out_tp[r2]
