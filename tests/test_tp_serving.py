@@ -145,26 +145,34 @@ def test_paged_engine_tp_fused_matches_single_device(tiny_fused):
     from flute_tpu.serving.paged import PagedEngine
 
     config, qparams = tiny_fused
-    reqs = [([5, 9, 2, 7], 6), ([11, 3], 5)]
+    # the first two share an 8-token (one-block) prefix: with the pool
+    # prefix cache on, the second request splices a shared block under
+    # TP (head-sharded pool rows into the prefill scratch)
+    system = list(range(1, 9))
+    reqs = [(system + [5, 9], 6), (system + [11], 5), ([7, 3], 4)]
+
+    def run(engine):
+        rids = [engine.submit(p, max_new_tokens=m) for p, m in reqs]
+        out = engine.run()
+        return [out[r] for r in rids]
 
     eng1 = PagedEngine(
-        params=qparams, config=config, num_slots=2,
-        block_size=8, num_blocks=10, max_len=32,
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=10, max_len=32, prefix_cache_blocks=2,
     )
-    rids1 = [eng1.submit(p, max_new_tokens=m) for p, m in reqs]
-    out1 = eng1.run()
+    out1 = run(eng1)
 
     mesh = make_mesh(tp=2, dp=1)
     pparams = permute_fused_params(qparams, config, tp=2)
     eng_tp = PagedEngine(
-        params=pparams, config=config, num_slots=2,
-        block_size=8, num_blocks=10, max_len=32, mesh=mesh,
+        params=pparams, config=config, num_slots=1,
+        block_size=8, num_blocks=10, max_len=32, prefix_cache_blocks=2,
+        mesh=mesh,
     )
-    rids_tp = [eng_tp.submit(p, max_new_tokens=m) for p, m in reqs]
-    out_tp = eng_tp.run()
+    out_tp = run(eng_tp)
 
-    for r1, r2 in zip(rids1, rids_tp):
-        assert out1[r1] == out_tp[r2]
+    assert out1 == out_tp
+    assert eng_tp.prefix_hits == eng1.prefix_hits == 1
     assert eng_tp.blocks_in_use == 0
 
 
