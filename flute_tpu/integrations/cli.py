@@ -130,7 +130,8 @@ def _cmd_generate(args):
         )
         print(
             f"# speculative: {eng.stats.rounds} rounds, "
-            f"{eng.stats.acceptance_rate:.0%} acceptance",
+            f"{eng.stats.acceptance_rate:.0%} acceptance, "
+            f"{eng.stats.bonus} bonus tokens",
             file=sys.stderr,
         )
     else:

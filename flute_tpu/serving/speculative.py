@@ -32,12 +32,18 @@ next step a vLLM user expects, ROADMAP "Serving"). TPU-first design:
     they are independent of the proposal stream. The accept/residual
     computation is one jitted static-shape kernel (no [V]-sized host
     transfer).
-  * **No bonus token on full acceptance**: when all k proposals are
-    accepted we do NOT emit the target's k+1-th token. This keeps the
-    draft cache exactly one token behind the emission point in every
-    case, so both models' next positions are computable per slot with
-    no per-slot catch-up branches (vLLM's scheduler historically made
-    the same trade for the same reason).
+  * **Bonus token on full acceptance**: when all k proposals are
+    accepted, the verify forward's position-k output is emitted too —
+    greedily its argmax, in sampled mode a draw from the warped p_k
+    with the plain engines' (seed, count) key — so a perfect round
+    yields k+1 tokens. The draft is then *two* tokens behind; the next
+    round starts with a per-slot catch-up: one extra T=1 cache-fill
+    forward consumes the straggler for bonus slots while non-bonus
+    slots are fed a duplicate whose junk K/V lands on a slot that the
+    very next write overwrites before it is ever attendable (the same
+    junk-cache argument as below). Every forward stays T=1/T=k+1 —
+    no new traced shapes, and draft == target keeps the sampled
+    stream bit-identical to the plain engines'.
   * **Junk-cache safety**: rejected proposals leave K/V at slots beyond
     the new position. Every subsequent step writes its K/V *before*
     attention and the causal mask admits only ``j <= query slot``, so a
@@ -69,10 +75,65 @@ class SpecStats:
     rounds: int = 0
     proposed: int = 0
     accepted: int = 0
+    bonus: int = 0  # extra tokens emitted on fully-accepted rounds
 
     @property
     def acceptance_rate(self) -> float:
         return self.accepted / self.proposed if self.proposed else 0.0
+
+
+def make_accept_fn(k: int):
+    """Build the jitted modified-rejection-sampling kernel shared by the
+    dense and paged speculative engines.
+
+    Per slot (static shapes): accept proposal x_j while
+    u_j < p_j(x_j)/q_j(x_j); at the first rejection sample the correction
+    from the residual max(p_j - q_j, 0); also draw the bonus token from
+    p_k with the plain engines' un-tagged (seed, count) key. ``p_probs``
+    is [B, k+1, V] (row k = bonus distribution), ``q_probs`` [B, k, V].
+    Returns (accepted count a [B], correction [B] — valid when a < k,
+    bonus [B] — valid when a == k)."""
+
+    @jax.jit
+    def accept_fn(key, seeds, gen, proposals, p_probs, q_probs):
+        def per_slot(seed, g, props, p, q):
+            jj = jnp.arange(k)
+            px = p[jj, props]
+            qx = jnp.maximum(q[jj, props], 1e-30)
+            base = jax.random.fold_in(key, seed)
+            # u_j: proposal key folded once more => independent of the
+            # draw that produced x_j
+            u = jax.vmap(
+                lambda j: jax.random.uniform(
+                    jax.random.fold_in(jax.random.fold_in(base, g + j), 1)
+                )
+            )(jj)
+            acc = u < (px / qx)
+            a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))
+            ai = jnp.minimum(a, k - 1)  # gather-safe; unused when a == k
+            res = jnp.maximum(p[ai] - q[ai], 0.0)
+            mass = jnp.sum(res)
+            # p <= q everywhere can only co-occur with acceptance-prob-1
+            # draws in exact arithmetic; numerically, fall back to p
+            res = jnp.where(mass > 1e-12, res / mass, p[ai])
+            rkey = jax.random.fold_in(jax.random.fold_in(base, g + a), 2)
+            corr = jax.random.categorical(
+                rkey, jnp.log(jnp.maximum(res, 1e-30))
+            )
+            # bonus (full acceptance): a draw from p_k with the plain
+            # engines' un-tagged (seed, count) key — count g+k is exactly
+            # where a non-speculative engine would be, so draft == target
+            # extends bit-identity through the bonus
+            bkey = jax.random.fold_in(base, g + k)
+            bonus = jax.random.categorical(
+                bkey, jnp.log(jnp.maximum(p[k], 1e-30))
+            )
+            return (a.astype(jnp.int32), corr.astype(jnp.int32),
+                    bonus.astype(jnp.int32))
+
+        return jax.vmap(per_slot)(seeds, gen, proposals, p_probs, q_probs)
+
+    return accept_fn
 
 
 @dataclasses.dataclass
@@ -119,8 +180,15 @@ class SpeculativeEngine:
             return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))
+        def fill_d(params, tok, cache, pos_vec, offsets):
+            # catch-up cache fill after a bonus round: logits discarded
+            _, cache = fwd(params, dc, tok, cache, pos_vec, offsets)
+            return cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def verify_step(params, toks, cache, pos_vec, offsets):
             # toks [B, k+1]; greedy target token after each input position
+            # (column k is the bonus token of a fully-accepted round)
             logits, cache = fwd(params, tc, toks, cache, pos_vec, offsets)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
@@ -156,57 +224,22 @@ class SpeculativeEngine:
         def verify_step_sampled(params, toks, cache, pos_vec, offsets,
                                 temp, top_k, top_p):
             # toks [B, k+1]; p_j = warped target dist after consuming
-            # [last, x_0..x_{j-1}] — positions 0..k-1 (position k would
-            # only feed a bonus token, which this engine never emits)
+            # [last, x_0..x_{j-1}] — positions 0..k; row k is the bonus
+            # distribution, drawn from only on full acceptance
             logits, cache = fwd(params, tc, toks, cache, pos_vec, offsets)
             warped = jax.vmap(
                 lambda rows, t, tk, tp: jax.vmap(
                     lambda r: _warp_logits(r, t, tk, tp)
                 )(rows)
-            )(logits[:, :k].astype(jnp.float32), temp, top_k, top_p)
+            )(logits.astype(jnp.float32), temp, top_k, top_p)
             return jax.nn.softmax(warped), cache
 
-        @jax.jit
-        def accept_fn(key, seeds, gen, proposals, p_probs, q_probs):
-            """Modified rejection sampling (per slot, static shapes):
-            accept x_j while u_j < p_j(x_j)/q_j(x_j); at the first
-            rejection sample the correction from max(p_j - q_j, 0).
-            Returns (accepted count a [B], correction token [B] — valid
-            only when a < k)."""
-
-            def per_slot(seed, g, props, p, q):
-                jj = jnp.arange(k)
-                px = p[jj, props]
-                qx = jnp.maximum(q[jj, props], 1e-30)
-                base = jax.random.fold_in(key, seed)
-                # u_j: proposal key folded once more => independent of the
-                # draw that produced x_j
-                u = jax.vmap(
-                    lambda j: jax.random.uniform(
-                        jax.random.fold_in(jax.random.fold_in(base, g + j), 1)
-                    )
-                )(jj)
-                acc = u < (px / qx)
-                a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))
-                ai = jnp.minimum(a, k - 1)  # gather-safe; unused when a == k
-                res = jnp.maximum(p[ai] - q[ai], 0.0)
-                mass = jnp.sum(res)
-                # p <= q everywhere can only co-occur with acceptance-prob-1
-                # draws in exact arithmetic; numerically, fall back to p
-                res = jnp.where(mass > 1e-12, res / mass, p[ai])
-                rkey = jax.random.fold_in(
-                    jax.random.fold_in(base, g + a), 2
-                )
-                corr = jax.random.categorical(
-                    rkey, jnp.log(jnp.maximum(res, 1e-30))
-                )
-                return a.astype(jnp.int32), corr.astype(jnp.int32)
-
-            return jax.vmap(per_slot)(seeds, gen, proposals, p_probs, q_probs)
+        accept_fn = make_accept_fn(k)
 
         self._prefill_t = prefill_t
         self._prefill_d = prefill_d
         self._draft = draft_step
+        self._fill_d = fill_d
         self._verify = verify_step
         self._prefill_t_sampled = prefill_t_sampled
         self._draft_sampled = draft_step_sampled
@@ -292,11 +325,29 @@ class SpeculativeEngine:
                 out[i].append(int(last[i]))
         t_pos = np.full((b,), plen, np.int32)
         d_pos = np.full((b,), plen, np.int32)
+        # straggler the draft hasn't consumed yet (bonus rounds leave one);
+        # -1 = none
+        pending = np.full((b,), -1, np.int32)
 
         while not done.all():
             # cache-capacity guard: a verify round writes through pos+k
             if int(t_pos.max()) + k + 1 > self.max_len:
                 break
+
+            # -- draft catch-up after bonus rounds ------------------------
+            if (pending >= 0).any():
+                # one T=1 cache fill: bonus slots consume their straggler
+                # at d_pos and advance; other slots are fed a duplicate
+                # whose junk K/V at d_pos is overwritten by their very
+                # next draft write (same slot) before it is attendable
+                has = pending >= 0
+                tok = np.where(has, pending, last).astype(np.int32)
+                d_cache = self._fill_d(
+                    self.draft_params, jnp.asarray(tok[:, None]), d_cache,
+                    jnp.asarray(d_pos), offsets_j,
+                )
+                d_pos = d_pos + has.astype(np.int32)
+                pending[:] = -1
 
             # -- draft phase: k sequential T=1 proposals ------------------
             proposals = np.zeros((b, k), np.int32)
@@ -328,13 +379,14 @@ class SpeculativeEngine:
                     jnp.asarray(t_pos), offsets_j,
                     temp_j, top_k_j, top_p_j,
                 )
-                a_vec, corr_vec = self._accept(
+                a_vec, corr_vec, bonus_vec = self._accept(
                     self._key, seeds_j, jnp.asarray(gen),
                     jnp.asarray(proposals),
                     p_probs, jnp.stack(q_steps, axis=1),
                 )
                 a_vec = np.asarray(a_vec)
                 corr_vec = np.asarray(corr_vec)
+                bonus_vec = np.asarray(bonus_vec)
             else:
                 greedy, t_cache = self._verify(
                     self.target_params, jnp.asarray(verify_in), t_cache,
@@ -349,11 +401,13 @@ class SpeculativeEngine:
                 if sampled:
                     a = int(a_vec[i])
                     correction = int(corr_vec[i])
+                    bonus_tok = int(bonus_vec[i])
                 else:
                     a = 0
                     while a < k and proposals[i, a] == greedy[i, a]:
                         a += 1
                     correction = int(greedy[i, min(a, k - 1)])
+                    bonus_tok = int(greedy[i, k])
                 self.stats.proposed += k
                 self.stats.accepted += a
                 if a < k:
@@ -362,14 +416,17 @@ class SpeculativeEngine:
                     t_pos[i] += a + 1
                     d_pos[i] += a + 1
                 else:
-                    # full acceptance: no bonus token (keeps the draft
-                    # exactly one consumed token behind — see module doc)
-                    emitted = list(proposals[i, :k])
-                    last[i] = int(proposals[i, k - 1])
-                    t_pos[i] += k
+                    # full acceptance: emit the verify forward's k+1-th
+                    # token too; the draft still owes x_{k-1}, consumed by
+                    # next round's catch-up fill (see module doc)
+                    emitted = list(proposals[i, :k]) + [bonus_tok]
+                    pending[i] = int(proposals[i, k - 1])
+                    last[i] = bonus_tok
+                    t_pos[i] += k + 1
                     d_pos[i] += k
+                    self.stats.bonus += 1
                 if sampled:
-                    gen[i] += a + 1 if a < k else k
+                    gen[i] += a + 1 if a < k else k + 1
                 for t in emitted:
                     if len(out[i]) >= max_new_tokens:
                         done[i] = True

@@ -1,7 +1,12 @@
 #!/bin/bash
-# TPU-outage recovery driver: poll the tunnel until a real device op
-# succeeds, then (1) record the headline bench to /tmp/bench_recover.json,
-# (2) launch the registry marathon (scripts/registry_marathon.sh).
+# TPU-outage recovery driver — the single on-chip queue for round 3.
+# Polls the tunnel until a real device op succeeds, then in order:
+#   1. finish the bench-shape retune (deep-grid configs for o/qkv/down,
+#      scripts/retune_bench_shapes.py, resumable, 3 tries)
+#   2. record the headline bench to /tmp/bench_recover.json
+#   3. grow the tuned registry (scripts/registry_marathon.sh, resumable)
+# Only ONE instance may run: on-chip timings are contaminated by any
+# concurrent chip or host-CPU load (docs/BENCH_NOTES.md).
 # Usage: setsid nohup bash scripts/tpu_recover_then_marathon.sh \
 #          > /tmp/recover.log 2>&1 &
 set -u
@@ -23,8 +28,17 @@ until probe; do
 done
 echo "$(date -u +%H:%M:%S) tunnel recovered"
 
-# 1. headline bench on a quiet chip (retry once: post-outage first
-# contact sometimes throws a transient backend error)
+echo "=== phase 1: retune bench shapes $(date -u +%H:%M:%S)"
+for try in 1 2 3; do
+  setsid timeout 3000 python -u scripts/retune_bench_shapes.py --reps 5 \
+    > /tmp/r3_retune_resume.log 2>&1
+  rc=$?
+  echo "  retune try $try rc=$rc"
+  [ "$rc" -eq 0 ] && break
+  probe || { echo "  TPU down again; waiting"; until probe; do sleep 180; done; }
+done
+
+echo "=== phase 2: headline bench $(date -u +%H:%M:%S)"
 for _ in 1 2; do
   timeout 580 python -u bench.py > /tmp/bench_recover.json \
     2> /tmp/bench_recover.err && break
@@ -33,6 +47,6 @@ for _ in 1 2; do
 done
 echo "bench result:"; cat /tmp/bench_recover.json
 
-# 2. long-running registry growth (resumable, self-watchdogged)
-echo "$(date -u +%H:%M:%S) starting registry marathon"
+echo "=== phase 3: registry marathon $(date -u +%H:%M:%S)"
 bash scripts/registry_marathon.sh
+echo "=== pipeline complete $(date -u +%H:%M:%S)"

@@ -124,6 +124,7 @@ def test_pool_pressure_queues_and_completes(tiny_q):
     assert eng.blocks_in_use == 0
 
 
+@pytest.mark.slow
 def test_paged_gemma2_matches_dense_engine():
     """Gemma-2 through the paged pool (softcap + sliding-window kernel
     variants, sandwich norms, GeGLU) equals the dense-cache Engine. The
@@ -221,6 +222,7 @@ def test_submit_guards(tiny_q):
         eng.submit(list(range(12)), max_new_tokens=8)  # > max_len
 
 
+@pytest.mark.slow
 def test_pool_prefix_sharing_exact_and_counted(tiny_q):
     """Two requests sharing a 2-block system prefix: the second reuses the
     first's pool blocks by reference (zero prefill for the shared run) and

@@ -151,6 +151,7 @@ def test_gemma2_server():
         srv.loop.shutdown()
 
 
+@pytest.mark.slow
 def test_paged_engine_server():
     """The HTTP server runs over PagedEngine (block-pool KV): streaming,
     per-request sampling, and completion all ride the same ServingLoop

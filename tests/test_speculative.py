@@ -34,6 +34,7 @@ def _greedy_oracle(config, qparams, prompts, n):
     return eng.generate(prompts, max_new_tokens=n)
 
 
+@pytest.mark.slow
 def test_self_draft_matches_greedy_and_accepts(tiny_pair):
     """Draft == target: output equals plain greedy decode and acceptance
     is high (the draft proposes exactly what the target would pick)."""
@@ -50,6 +51,10 @@ def test_self_draft_matches_greedy_and_accepts(tiny_pair):
     got = eng.generate(prompts, max_new_tokens=n)
     assert got == want
     assert eng.stats.acceptance_rate > 0.8
+    # a self-draft fully accepts, so bonus tokens must actually flow —
+    # and a perfect round then yields k+1 tokens
+    assert eng.stats.bonus > 0
+    assert eng.stats.rounds <= -(-n // (eng.k + 1)) + 1
 
 
 @pytest.mark.slow
@@ -112,6 +117,28 @@ def test_eos_stops_early(tiny_pair):
 
 
 @pytest.mark.slow
+def test_bonus_catchup_with_mixed_slots(tiny_pair):
+    """One slot finishes (eos) while the other keeps fully accepting:
+    catch-up rounds then mix pending and non-pending slots (the dup-token
+    junk-write path); the surviving slot must still equal plain greedy."""
+    config, target, _ = tiny_pair
+    prompts = [[3, 17, 42, 9], [11, 5]]
+    n = 16
+    want = _greedy_oracle(config, target, prompts, n)
+    eos = want[0][2]  # slot 0 stops after 2 tokens
+    assert eos not in want[1], "pick a different eos index for these seeds"
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=target, draft_config=config,
+        k=3, max_len=96, batch_size=2,
+    )
+    got = eng.generate(prompts, max_new_tokens=n, eos_id=eos)
+    assert got[0] == want[0][:2]
+    assert got[1] == want[1]
+    assert eng.stats.bonus > 0
+
+
+@pytest.mark.slow
 def test_k1_equivalent_to_plain_decode(tiny_pair):
     """k=1 degenerates to verify-every-token; output unchanged."""
     config, target, draft = tiny_pair
@@ -144,16 +171,20 @@ def test_accept_preserves_target_distribution(tiny_pair):
     V, B, k = 16, 8192, 2
     p0 = rng.dirichlet(np.ones(V) * 0.3)
     q0 = rng.dirichlet(np.ones(V) * 0.3)  # deliberately unrelated to p0
-    p = np.tile(p0.astype(np.float32), (B, k, 1))
+    pb = rng.dirichlet(np.ones(V) * 0.3)  # bonus-position target dist
+    p = np.concatenate(
+        [np.tile(p0.astype(np.float32), (B, k, 1)),
+         np.tile(pb.astype(np.float32), (B, 1, 1))], axis=1,
+    )  # [B, k+1, V]: row k feeds the bonus draw
     q = np.tile(q0.astype(np.float32), (B, k, 1))
     proposals = rng.choice(V, size=(B, k), p=q0).astype(np.int32)
     seeds = np.arange(B, dtype=np.int32)
     gen = np.ones((B,), np.int32)
-    a, corr = eng._accept(
+    a, corr, bonus = eng._accept(
         jax.random.PRNGKey(0), jnp.asarray(seeds), jnp.asarray(gen),
         jnp.asarray(proposals), jnp.asarray(p), jnp.asarray(q),
     )
-    a, corr = np.asarray(a), np.asarray(corr)
+    a, corr, bonus = np.asarray(a), np.asarray(corr), np.asarray(bonus)
     first = np.where(a >= 1, proposals[:, 0], corr)
     hist = np.bincount(first, minlength=V) / B
     tol = 4 * np.sqrt(p0 * (1 - p0) / B) + 2e-3
@@ -162,6 +193,12 @@ def test_accept_preserves_target_distribution(tiny_pair):
     acc0 = float((a >= 1).mean())
     want_acc = float(np.minimum(p0, q0).sum())
     assert abs(acc0 - want_acc) < 0.02
+    # bonus tokens of fully-accepted slots must be distributed as p_k
+    full = a == k
+    assert full.sum() > 500  # enough mass for the histogram below
+    bh = np.bincount(bonus[full], minlength=V) / full.sum()
+    btol = 4 * np.sqrt(pb * (1 - pb) / full.sum()) + 2e-3
+    assert (np.abs(bh - pb) <= btol).all(), np.abs(bh - pb) / btol
 
 
 @pytest.mark.slow
