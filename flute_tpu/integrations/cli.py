@@ -234,7 +234,33 @@ def _cmd_serve(args):
         validate_tp(params, config, tp=args.tp)
         params = permute_fused_params(params, config, tp=args.tp)
         mesh = make_mesh(tp=args.tp, dp=1)
-    if args.paged:
+    if args.paged and args.draft_checkpoint:
+        from flute_tpu.serving.paged_spec import PagedSpeculativeEngine
+
+        dparams, dconfig, _ = load_quantized_model(
+            args.draft_checkpoint, batch_size=args.num_slots,
+            retune=args.retune,
+        )
+        if dconfig is None:
+            raise SystemExit("draft checkpoint lacks config.json")
+        if args.tp > 1:
+            from flute_tpu.parallel import permute_fused_params, validate_tp
+
+            validate_tp(dparams, dconfig, tp=args.tp)
+            dparams = permute_fused_params(dparams, dconfig, tp=args.tp)
+        eng = PagedSpeculativeEngine(
+            params=params, config=config,
+            draft_params=dparams, draft_config=dconfig,
+            k=args.speculative_k,
+            num_slots=args.num_slots, max_len=args.max_len,
+            block_size=args.block_size, num_blocks=args.num_blocks,
+            eos_id=getattr(tok, "eos_token_id", None),
+            mesh=mesh,
+            prefill_chunk=args.prefill_chunk,
+        )
+    elif args.draft_checkpoint:
+        raise SystemExit("--draft-checkpoint on serve requires --paged")
+    elif args.paged:
         from flute_tpu.serving.paged import PagedEngine
 
         eng = PagedEngine(
@@ -353,6 +379,13 @@ def main(argv=None):
                    help="paged KV block size in tokens")
     s.add_argument("--num-blocks", type=int, default=512,
                    help="paged KV pool size in blocks")
+    s.add_argument("--draft-checkpoint", default=None,
+                   help="with --paged: serve speculatively — this draft "
+                        "checkpoint (same tokenizer/vocab; e.g. a W2 "
+                        "quantization of the target) proposes tokens that "
+                        "the target verifies in one paged forward")
+    s.add_argument("--speculative-k", type=int, default=4,
+                   help="draft proposals per verify round")
     s.set_defaults(fn=_cmd_serve)
 
     imp = sub.add_parser(

@@ -142,6 +142,212 @@ def _kernel(
         o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
+def paged_verify_reference(
+    q: jax.Array,  # [B, T, H, D]
+    k_pool: jax.Array,  # [NB, Hkv, BS, D]
+    v_pool: jax.Array,  # [NB, Hkv, BS, D]
+    tables: jax.Array,  # [B, MB] int32
+    lengths: jax.Array,  # [B] int32: positions already cached BEFORE the run
+    *,
+    scale: float | None = None,
+    softcap: float | None = None,
+    window: int | None = None,
+) -> jax.Array:
+    """Dense jnp oracle for the multi-token verify: query t of sequence b
+    sits at position ``lengths[b] + t`` and attends ``lengths[b] + t + 1``
+    positions (its own pre-written K/V included)."""
+    b, t, h, d = q.shape
+    out = []
+    for j in range(t):
+        out.append(
+            paged_gqa_reference(
+                q[:, j], k_pool, v_pool, tables, lengths + j + 1,
+                scale=scale, softcap=softcap, window=window,
+            )
+        )
+    return jnp.stack(out, axis=1)
+
+
+def _verify_kernel(
+    tables_ref,  # [B, MB] scalar-prefetch
+    lengths_ref,  # [B] scalar-prefetch
+    q_ref,  # [1, 1, T*rep_pad, D]
+    k_ref,  # [1, 1, BS, D]
+    v_ref,  # [1, 1, BS, D]
+    o_ref,  # [1, 1, T*rep_pad, D]
+    m_scr,  # [T*rep_pad, 128] f32
+    l_scr,  # [T*rep_pad, 128] f32
+    acc_scr,  # [T*rep_pad, D] f32
+    *,
+    block_size: int,
+    scale: float,
+    max_blocks: int,
+    t_len: int,
+    rep_pad: int,
+    softcap: float | None,
+    window: int | None,
+):
+    """Multi-query flash accumulation: row r belongs to query index
+    ``r // rep_pad`` whose attendable length is ``lengths[bi] + t + 1`` —
+    every pool block is DMA'd ONCE for all T queries (the T=1 kernel run
+    over virtual slots reads each block T times)."""
+    bi = pl.program_id(0)
+    j = pl.program_id(2)
+
+    # Finite mask sentinel instead of -inf: rows whose valid range misses a
+    # live block entirely (possible here because valid ranges differ per
+    # row) would otherwise hit exp(-inf - -inf) = nan. With -1e30, such a
+    # row accumulates exp(0)=1 junk while it has seen NO valid position,
+    # and the first genuinely valid block zeroes that junk via
+    # alpha = exp(-1e30 - m_real) = 0. Every un-padded row has >= 1 valid
+    # position overall (its query's own pre-written K/V), so real outputs
+    # are never junk-only.
+    neg = jnp.float32(-1e30)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, neg)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = lengths_ref[bi]
+    base = j * block_size
+
+    # live iff the block intersects the union of per-query valid ranges:
+    # [length + 1 - window, length + t_len)
+    live = base < length + t_len
+    if window is not None:
+        live &= base + block_size > length + 1 - window
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [T*rep_pad, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BS, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [T*rep_pad, BS]
+        if softcap is not None:
+            s = jnp.tanh(s / softcap) * softcap
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        tq = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // rep_pad
+        att = length + tq + 1  # attendable positions of this row's query
+        valid = pos < att
+        if window is not None:
+            valid &= pos >= att - window
+        s = jnp.where(valid, s, neg)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == max_blocks - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "softcap", "window", "interpret")
+)
+def paged_verify_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k_pool: jax.Array,  # [NB, Hkv, BS, D]
+    v_pool: jax.Array,  # [NB, Hkv, BS, D]
+    tables: jax.Array,  # [B, MB] int32
+    lengths: jax.Array,  # [B] int32: cached positions BEFORE the run
+    *,
+    scale: float | None = None,
+    softcap: float | None = None,
+    window: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused multi-token paged attention for speculative verify (and any
+    short multi-token decode): query t of sequence b sits at position
+    ``lengths[b] + t`` with its K/V already scattered into the pool, and
+    attends ``lengths[b] + t + 1`` positions. One kernel, one DMA per
+    (sequence, kv head, block) — T times less K/V traffic than running
+    the T=1 kernel over T virtual slots. Returns [B, T, H, D]."""
+    if interpret is None:
+        from flute_tpu.ops.lut_gemm import _interpret_default
+
+        interpret = _interpret_default()
+    b, t, h, d = q.shape
+    nb, hkv, bs, dk = k_pool.shape
+    mb = tables.shape[1]
+    if d != dk:
+        raise ValueError(f"head_dim mismatch: q {d} vs pool {dk}")
+    if h % hkv:
+        raise ValueError(f"{h} query heads not a multiple of {hkv} kv heads")
+    rep = h // hkv
+    rep_pad = max(8, -(-rep // 8) * 8)
+    scale_f = float(scale if scale is not None else d**-0.5)
+
+    tables = jnp.clip(tables.astype(jnp.int32), 0, nb - 1)
+    lengths = lengths.astype(jnp.int32)
+    # rows grouped by query index: row t*rep_pad + r <- q[:, t, hi*rep + r]
+    qp = jnp.zeros((b, hkv, t * rep_pad, d), q.dtype)
+    qr = q.reshape(b, t, hkv, rep, d).transpose(0, 2, 1, 3, 4)  # [B,Hkv,T,rep,D]
+    for tj in range(t):
+        qp = qp.at[:, :, tj * rep_pad : tj * rep_pad + rep].set(qr[:, :, tj])
+
+    grid = (b, hkv, mb)
+    kernel = functools.partial(
+        _verify_kernel, block_size=bs, scale=scale_f, max_blocks=mb,
+        t_len=t, rep_pad=rep_pad,
+        softcap=None if softcap is None else float(softcap),
+        window=None if window is None else int(window),
+    )
+    rows = t * rep_pad
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, rows, d),
+                    lambda bi, hi, j, tbl, ln: (bi, hi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bs, d),
+                    lambda bi, hi, j, tbl, ln: (tbl[bi, j], hi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bs, d),
+                    lambda bi, hi, j, tbl, ln: (tbl[bi, j], hi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rows, d),
+                lambda bi, hi, j, tbl, ln: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype),
+        interpret=interpret,
+    )(tables, lengths, qp, k_pool, v_pool)
+    out = out.reshape(b, hkv, t, rep_pad, d)[:, :, :, :rep]
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t, h, d)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "softcap", "window", "interpret")
 )

@@ -1,6 +1,7 @@
 from flute_tpu.serving.engine import Engine, greedy_generate
 from flute_tpu.serving.continuous import ContinuousBatchingEngine, SamplingParams
 from flute_tpu.serving.paged import PagedEngine
+from flute_tpu.serving.paged_spec import PagedSpeculativeEngine
 from flute_tpu.serving.speculative import SpeculativeEngine
 
 __all__ = [
@@ -9,5 +10,6 @@ __all__ = [
     "ContinuousBatchingEngine",
     "SamplingParams",
     "PagedEngine",
+    "PagedSpeculativeEngine",
     "SpeculativeEngine",
 ]

@@ -102,6 +102,10 @@ class PagedEngine:
 
     def __post_init__(self):
         cfg = self.config
+        # positions past a request's budgeted length that decode/verify may
+        # transiently write: 1 here; 1 + k for the speculative subclass
+        # (a verify round writes k ahead before acceptance rolls back)
+        self._tail = 1
         self._is_gemma2 = hasattr(cfg, "attn_logit_softcap")
         if self.forward is None or self.init_cache is None:
             if self._is_gemma2:
@@ -496,12 +500,12 @@ class PagedEngine:
     ) -> int:
         """Queue a request. Per-request sampling: pass a SamplingParams or
         temperature=/top_k=/top_p=/seed= keywords (default greedy)."""
-        if len(prompt) + max_new_tokens + 1 > self.max_len:
+        if len(prompt) + max_new_tokens + self._tail > self.max_len:
             raise ValueError(
                 f"prompt {len(prompt)} + budget {max_new_tokens} exceeds "
                 f"max_len {self.max_len}"
             )
-        need = self._blocks_needed(len(prompt) + max_new_tokens + 1)
+        need = self._blocks_needed(len(prompt) + max_new_tokens + self._tail)
         if need > self.num_blocks - 1:
             raise ValueError(
                 f"request needs {need} blocks; pool has {self.num_blocks - 1}"
@@ -566,7 +570,7 @@ class PagedEngine:
                 continue
             rid, prompt, budget, sampling = self._queue[0]
             plen = len(prompt)
-            nb_total = self._blocks_needed(plen + budget + 1)
+            nb_total = self._blocks_needed(plen + budget + self._tail)
             shared = (
                 self._find_shared(prompt) if self.prefix_cache_blocks else []
             )

@@ -75,6 +75,53 @@ def test_kernel_zero_length_slot_is_finite():
     assert np.isfinite(got).all()
 
 
+def test_verify_kernel_matches_reference():
+    """Fused multi-query verify kernel (speculative T=k+1 through the
+    pool): per-row attendable lengths, block-edge boundary (a live block
+    fully masked for early rows — the -1e30 sentinel path), softcap and
+    sliding-window variants, and T=1 degeneration to the decode kernel."""
+    from flute_tpu.ops.paged_attention import (
+        paged_verify_attention,
+        paged_verify_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    B, T, D, BS, MB, NB = 3, 5, 128, 16, 6, 24
+    kp = jnp.asarray(rng.standard_normal((NB, 2, BS, D)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((NB, 2, BS, D)), jnp.bfloat16)
+    tables = jnp.asarray(
+        rng.permutation(NB)[: B * MB].reshape(B, MB), jnp.int32
+    )
+
+    def check(q, lengths, **kw):
+        want = paged_verify_reference(q, kp, vp, tables, lengths, **kw)
+        got = paged_verify_attention(
+            q, kp, vp, tables, lengths, interpret=True, **kw
+        )
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+        denom = max(np.abs(np.asarray(want, np.float32)).max(), 1e-6)
+        assert err.max() / denom < 1.1e-2, kw
+
+    q = jnp.asarray(rng.standard_normal((B, T, 8, D)), jnp.bfloat16)
+    # length one below a block edge: the first live block is fully masked
+    # for early rows (would nan with -inf masking)
+    check(q, jnp.asarray([15, 16, 75], jnp.int32))
+    check(q, jnp.asarray([37, 16, 75], jnp.int32))
+    for softcap, window in [(50.0, None), (None, 10), (30.0, 24), (50.0, 3)]:
+        check(q, jnp.asarray([15, 37, 75], jnp.int32),
+              softcap=softcap, window=window)
+    # MHA
+    q2 = jnp.asarray(rng.standard_normal((B, T, 2, D)), jnp.bfloat16)
+    check(q2, jnp.asarray([15, 16, 63], jnp.int32))
+    # T=1 == the decode kernel on lengths+1
+    q1 = jnp.asarray(rng.standard_normal((B, 1, 8, D)), jnp.bfloat16)
+    ln = jnp.asarray([15, 37, 75], jnp.int32)
+    want = paged_decode_attention(q1[:, 0], kp, vp, tables, ln + 1,
+                                  interpret=True)
+    got = paged_verify_attention(q1, kp, vp, tables, ln, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[:, 0]), np.asarray(want))
+
+
 @pytest.fixture(scope="module")
 def tiny_q():
     config = llama.LlamaConfig.tiny()

@@ -195,3 +195,39 @@ def test_paged_engine_server():
     finally:
         srv.shutdown()
         srv.loop.shutdown()
+
+
+@pytest.mark.slow
+def test_paged_speculative_server():
+    """The HTTP server runs over PagedSpeculativeEngine: a speculative
+    round emits several tokens per step() and the ServingLoop must stream
+    each through token_callback in order; output equals the dense oracle
+    (draft == target -> pure speed, identical stream)."""
+    from flute_tpu.serving.paged_spec import PagedSpeculativeEngine
+
+    config = llama.LlamaConfig.tiny()
+    params = llama.init_params(config, rng=0)
+    qparams = llama.quantize_model(params, num_bits=4, group_size=64)
+    dense = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=2, max_len=32
+    )
+    srv_d = serve(dense, port=0)
+    try:
+        _, want = _post(srv_d, {"prompt": [1, 5, 9], "max_tokens": 6})
+    finally:
+        srv_d.shutdown()
+        srv_d.loop.shutdown()
+
+    eng = PagedSpeculativeEngine(
+        params=qparams, config=config,
+        draft_params=qparams, draft_config=config,
+        k=3, num_slots=2, block_size=8, num_blocks=12, max_len=32,
+    )
+    srv = serve(eng, port=0)
+    try:
+        code, out = _post(srv, {"prompt": [1, 5, 9], "max_tokens": 6})
+        assert code == 200 and out["tokens"] == want["tokens"]
+        assert eng.stats.bonus > 0
+    finally:
+        srv.shutdown()
+        srv.loop.shutdown()

@@ -205,3 +205,44 @@ def test_paged_engine_tp_gemma2_matches_single_device():
     out_tp = eng_tp.run()
     for r1, r2 in zip(rids1, rids_tp):
         assert out1[r1] == out_tp[r2]
+
+
+@pytest.mark.slow
+def test_paged_speculative_tp_matches_single_device(tiny_fused):
+    """PagedSpeculativeEngine under a tp=2 mesh (pools AND draft cache
+    sharded over KV heads, fused layouts rank-major permuted on both
+    sides, verify + draft steps shard_map'd) reproduces the
+    single-device speculative stream — greedy and sampled slots in one
+    batch, bonus tokens flowing on both."""
+    from flute_tpu.serving.paged_spec import PagedSpeculativeEngine
+
+    config, qparams = tiny_fused
+    reqs = [([3, 17, 42, 9], 8, {}),
+            ([11, 5], 8, dict(temperature=0.9, top_k=40, seed=123))]
+
+    def run(engine):
+        rids = [engine.submit(p, max_new_tokens=m, **kw)
+                for p, m, kw in reqs]
+        out = engine.run()
+        return [out[r] for r in rids]
+
+    eng1 = PagedSpeculativeEngine(
+        params=qparams, config=config,
+        draft_params=qparams, draft_config=config,
+        k=3, num_slots=2, block_size=8, num_blocks=12, max_len=32,
+    )
+    out1 = run(eng1)
+    assert eng1.stats.bonus > 0  # self-draft: bonus path exercised
+
+    mesh = make_mesh(tp=2, dp=1)
+    pparams = permute_fused_params(qparams, config, tp=2)
+    eng_tp = PagedSpeculativeEngine(
+        params=pparams, config=config,
+        draft_params=pparams, draft_config=config,
+        k=3, num_slots=2, block_size=8, num_blocks=12, max_len=32,
+        mesh=mesh,
+    )
+    out_tp = run(eng_tp)
+
+    assert out1 == out_tp
+    assert eng_tp.blocks_in_use == 0
