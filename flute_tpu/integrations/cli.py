@@ -257,6 +257,7 @@ def _cmd_serve(args):
             eos_id=getattr(tok, "eos_token_id", None),
             mesh=mesh,
             prefill_chunk=args.prefill_chunk,
+            pool_prefill=args.pool_prefill,
         )
     elif args.draft_checkpoint:
         raise SystemExit("--draft-checkpoint on serve requires --paged")
@@ -271,6 +272,7 @@ def _cmd_serve(args):
             eos_id=getattr(tok, "eos_token_id", None),
             mesh=mesh,
             prefill_chunk=args.prefill_chunk,
+            pool_prefill=args.pool_prefill,
         )
     else:
         eng = ContinuousBatchingEngine(
@@ -379,6 +381,10 @@ def main(argv=None):
                    help="paged KV block size in tokens")
     s.add_argument("--num-blocks", type=int, default=512,
                    help="paged KV pool size in blocks")
+    s.add_argument("--pool-prefill", action="store_true",
+                   help="with --paged: prefill straight into pool blocks "
+                        "via the fused multi-query kernel (no dense "
+                        "scratch; admission memory bounded by one chunk)")
     s.add_argument("--draft-checkpoint", default=None,
                    help="with --paged: serve speculatively — this draft "
                         "checkpoint (same tokenizer/vocab; e.g. a W2 "

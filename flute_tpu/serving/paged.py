@@ -99,6 +99,14 @@ class PagedEngine:
     # chunks (bounded per-admission latency; same contract as
     # ContinuousBatchingEngine.prefill_chunk). None = one bucketed call.
     prefill_chunk: Optional[int] = None
+    # Pool-backed prefill (vLLM's unified path): prompt chunks are written
+    # STRAIGHT into pool blocks and attend through the fused multi-query
+    # paged kernel — no dense scratch cache, no splice/scatter dispatches,
+    # and shared prefix blocks attend via the block table with zero
+    # copies. Admission memory is bounded by one chunk (prefill_chunk,
+    # default 256 here) regardless of prompt length. False keeps the
+    # dense-scratch + scatter path.
+    pool_prefill: bool = False
 
     def __post_init__(self):
         cfg = self.config
@@ -421,6 +429,60 @@ class PagedEngine:
             self._prefills[key] = prefill
         return self._prefills[key]
 
+    def _pool_prefill_fn(self, tb: int):
+        """Jitted pool-backed prefill of a ``tb``-token right-padded chunk
+        for one slot: K/V written straight into the slot's pool blocks
+        (padding positions routed to the trash block via ``real_end``),
+        attention through the fused multi-query paged kernel, logits
+        returned for the single row ``last_idx`` (LM head over one token,
+        not the chunk). Pools donated."""
+        key = ("pool_prefill", tb)
+        if key not in self._prefills:
+            from flute_tpu.serving.paged_fwd import (
+                make_paged_multitoken_forward,
+            )
+
+            mt_fwd = make_paged_multitoken_forward(self.config, self.block_size)
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from flute_tpu.parallel.tp import get_shard_map
+
+                pool_spec = [
+                    P(None, "tp", None, None)
+                ] * self.config.num_layers
+
+                @functools.partial(
+                    get_shard_map(),
+                    mesh=self.mesh,
+                    in_specs=(self.params_specs, pool_spec, pool_spec,
+                              P(), P(), P(), P(), P()),
+                    out_specs=(P(), pool_spec, pool_spec),
+                )
+                def fwd(params, kp, vp, tables, base, toks, rend, last_idx):
+                    return mt_fwd(
+                        params, kp, vp, tables, base, toks,
+                        real_end=rend, last_idx=last_idx, axis_name="tp",
+                    )
+            else:
+                def fwd(params, kp, vp, tables, base, toks, rend, last_idx):
+                    return mt_fwd(
+                        params, kp, vp, tables, base, toks,
+                        real_end=rend, last_idx=last_idx,
+                    )
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def pprefill(params, kp, vp, table_row, base, toks,
+                         real_end, last_idx):
+                logits, kp, vp = fwd(
+                    params, kp, vp, table_row[None],
+                    base[None], toks, real_end[None], last_idx,
+                )
+                return logits[0, 0].astype(jnp.float32), kp, vp
+
+            self._prefills[key] = pprefill
+        return self._prefills[key]
+
     def _splice_fn(self, csize: int, nsh: int):
         """Jitted splice of ``nsh`` shared pool blocks into the first
         ``nsh * block`` columns of a ``csize``-column scratch cache — ONE
@@ -603,13 +665,43 @@ class PagedEngine:
             self._top_p[slot] = sampling.top_p
             self._seeds[slot] = sampling.seed
 
+            p0 = len(shared) * bs
+            rem = plen - p0
+            if self.pool_prefill:
+                # pool-backed prefill: each chunk's K/V goes straight into
+                # the slot's pool blocks (shared prefix blocks attended
+                # through the table, zero copies; padding positions routed
+                # to the trash block), attention via the fused multi-query
+                # paged kernel. Admission memory = one chunk.
+                chunk = self.prefill_chunk or 256
+                suffix = np.asarray(prompt[p0:], np.int32)
+                table_row = jnp.asarray(self._tables[slot])
+                rend = jnp.int32(plen)
+                c0 = 0
+                while c0 < rem:
+                    m = min(chunk, rem - c0)
+                    tb = bs
+                    while tb < m:
+                        tb *= 2
+                    toks = np.full((1, tb), self.pad_id, np.int32)
+                    toks[0, :m] = suffix[c0:c0 + m]
+                    last_row, self._kp, self._vp = self._pool_prefill_fn(tb)(
+                        self.params, self._kp, self._vp, table_row,
+                        jnp.int32(p0 + c0), jnp.asarray(toks),
+                        rend, jnp.int32(m - 1),
+                    )
+                    c0 += m
+                first = self._sample_first(last_row, sampling)
+                self._lengths[slot] = plen
+                self._gen_count[slot] = 1  # next decode draw is generation 1
+                self._record(slot, first)
+                continue
+
             # dense prefill of the non-shared suffix into a bucketed
             # scratch cache (shared pool blocks spliced in first so the
             # suffix attends to them), then scatter whole new blocks into
             # the pool. RoPE'd K is position-absolute, so block reuse at
             # the same positions is exact.
-            p0 = len(shared) * bs
-            rem = plen - p0
             csize = bs
             while csize < plen:
                 csize *= 2

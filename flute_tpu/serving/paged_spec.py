@@ -62,14 +62,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from flute_tpu.models import llama
-from flute_tpu.models.llama import (
-    apply_linear,
-    apply_rope,
-    rms_norm,
-    rope_tables,
-    split_fused_qkv,
-)
-from flute_tpu.ops.paged_attention import paged_verify_attention
 from flute_tpu.serving.continuous import _warp_logits
 from flute_tpu.serving.paged import PagedEngine
 from flute_tpu.serving.speculative import SpecStats, make_accept_fn
@@ -148,172 +140,18 @@ class PagedSpeculativeEngine(PagedEngine):
         t = k + 1
         dfwd = self._dfwd
 
-        def paged_verify_gemma2(
-            params, kp, vp, tables, lengths, toks, axis_name=None
-        ):
-            """Gemma-2 T=k+1 verify through the pool: sandwich norms,
-            GeGLU, embed scaling, alternating sliding/global attention
-            (softcap + per-row window inside the fused verify kernel),
-            final logit softcap — mirrors paged.py's T=1 gemma2 forward."""
-            from flute_tpu.models.gemma2 import rms_norm_gemma
-            from flute_tpu.models.gemma2 import rope_tables as g2_rope
+        # one shared multi-token paged forward (serving/paged_fwd.py)
+        # serves both this verify (logits at all k+1 positions) and the
+        # parent's pool-backed chunked prefill
+        from flute_tpu.serving.paged_fwd import make_paged_multitoken_forward
 
-            b = toks.shape[0]
-            x = params["embed"][toks].astype(cfg.dtype)
-            x = x * jnp.asarray(cfg.hidden_size**0.5, cfg.dtype)
-            positions = (
-                lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-            )
-            cos, sin = g2_rope(cfg, positions)
-            d = cfg.head_dim
-            rows = tables[jnp.arange(b)[:, None], positions // bs]
-            offs = positions % bs
-            eps = cfg.rms_norm_eps
+        mt_fwd = make_paged_multitoken_forward(cfg, bs)
 
-            new_kp, new_vp = [], []
-            for li, layer in enumerate(params["layers"]):
-                h = rms_norm_gemma(x, layer["attn_norm"], eps)
-                if "qkv" in layer:
-                    qkv = apply_linear(layer["qkv"], h)
-                    q, kk, vv = split_fused_qkv(
-                        qkv, cfg.num_heads, cfg.num_kv_heads, d
-                    )
-                else:
-                    q = apply_linear(layer["q"], h).reshape(b, t, -1, d)
-                    kk = apply_linear(layer["k"], h).reshape(b, t, -1, d)
-                    vv = apply_linear(layer["v"], h).reshape(b, t, -1, d)
-                q = apply_rope(q, cos, sin)
-                kk = apply_rope(kk, cos, sin)
-                kpl = kp[li].at[rows, :, offs, :].set(kk.astype(kp[li].dtype))
-                vpl = vp[li].at[rows, :, offs, :].set(vv.astype(vp[li].dtype))
-                attn = paged_verify_attention(
-                    q, kpl, vpl, tables, lengths,
-                    scale=cfg.query_pre_attn_scalar**-0.5,
-                    softcap=cfg.attn_logit_softcap,
-                    # even layers slide (HF order) — models/gemma2.py:204
-                    window=cfg.sliding_window if li % 2 == 0 else None,
-                )
-                o = apply_linear(layer["o"], attn.reshape(b, t, -1))
-                if axis_name is not None:
-                    o = jax.lax.psum(o, axis_name)
-                o = rms_norm_gemma(o, layer["post_attn_norm"], eps)
-                x = x + o
-                h2 = rms_norm_gemma(x, layer["mlp_norm"], eps)
-                if "gate_up" in layer:
-                    gu = apply_linear(layer["gate_up"], h2)
-                    inter = gu.shape[-1] // 2
-                    gate, up = gu[..., :inter], gu[..., inter:]
-                else:
-                    gate = apply_linear(layer["gate"], h2)
-                    up = apply_linear(layer["up"], h2)
-                down = apply_linear(
-                    layer["down"], jax.nn.gelu(gate, approximate=True) * up
-                )
-                if axis_name is not None:
-                    down = jax.lax.psum(down, axis_name)
-                down = rms_norm_gemma(down, layer["post_mlp_norm"], eps)
-                x = x + down
-                new_kp.append(kpl)
-                new_vp.append(vpl)
+        def paged_verify(params, kp, vp, tables, lengths, toks,
+                         axis_name=None):
+            return mt_fwd(params, kp, vp, tables, lengths, toks,
+                          axis_name=axis_name)
 
-            x = rms_norm_gemma(x, params["final_norm"], eps)
-            head = params.get("lm_head")
-            from flute_tpu.nn import QuantizedLinear
-
-            if isinstance(head, QuantizedLinear):
-                logits = head(x)[..., : cfg.vocab_size]
-            else:
-                logits = jnp.dot(
-                    x, params["embed"].T.astype(x.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-            cap = cfg.final_logit_softcap
-            return jnp.tanh(logits / cap) * cap, new_kp, new_vp
-
-        def paged_verify_llama(
-            params, kp, vp, tables, lengths, toks, axis_name=None
-        ):
-            """T=k+1 target forward through the block pool: toks[b] =
-            [last, x_0..x_{k-1}]; returns logits [B, k+1, V] and pools."""
-            b = toks.shape[0]
-            x = params["embed"][toks].astype(cfg.dtype)
-            positions = (
-                lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-            )  # [B, t]
-            cos, sin = rope_tables(cfg, positions)
-            d = cfg.head_dim
-            rows = tables[jnp.arange(b)[:, None], positions // bs]  # [B, t]
-            offs = positions % bs
-
-            new_kp, new_vp = [], []
-            for li, layer in enumerate(params["layers"]):
-                h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-                if "qkv" in layer:
-                    qkv = apply_linear(layer["qkv"], h)
-                    q, kk, vv = split_fused_qkv(
-                        qkv, cfg.num_heads, cfg.num_kv_heads, d
-                    )
-                else:
-                    q = apply_linear(layer["q"], h).reshape(b, t, -1, d)
-                    kk = apply_linear(layer["k"], h).reshape(b, t, -1, d)
-                    vv = apply_linear(layer["v"], h).reshape(b, t, -1, d)
-                q = apply_rope(q, cos, sin)
-                kk = apply_rope(kk, cos, sin)
-                # scatter k+1 entries per slot; (row, off) pairs are
-                # distinct within a slot, and cross-slot writes can only
-                # collide on the trash block (inactive slots) — junk there
-                # is never meaningfully read
-                kpl = kp[li].at[rows, :, offs, :].set(
-                    kk.astype(kp[li].dtype)
-                )
-                vpl = vp[li].at[rows, :, offs, :].set(
-                    vv.astype(vp[li].dtype)
-                )
-                # fused multi-query paged attention: every pool block is
-                # DMA'd once for all k+1 queries of a slot (per-row
-                # attendable length lengths[b]+j+1 encodes causality)
-                attn = paged_verify_attention(
-                    q, kpl, vpl, tables, lengths
-                )  # [B, t, H, D]
-                o = apply_linear(layer["o"], attn.reshape(b, t, -1))
-                if axis_name is not None:
-                    o = jax.lax.psum(o, axis_name)
-                x = x + o
-                h2 = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
-                if "gate_up" in layer:
-                    gu = apply_linear(layer["gate_up"], h2)
-                    inter = gu.shape[-1] // 2
-                    gate, up = gu[..., :inter], gu[..., inter:]
-                else:
-                    gate = apply_linear(layer["gate"], h2)
-                    up = apply_linear(layer["up"], h2)
-                down = apply_linear(layer["down"], jax.nn.silu(gate) * up)
-                if axis_name is not None:
-                    down = jax.lax.psum(down, axis_name)
-                x = x + down
-                new_kp.append(kpl)
-                new_vp.append(vpl)
-
-            x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-            head = (
-                params["lm_head"]
-                if params.get("lm_head") is not None
-                else params["embed"].T
-            )
-            from flute_tpu.nn import QuantizedLinear
-
-            if isinstance(head, QuantizedLinear):
-                logits = head(x)[..., : cfg.vocab_size]
-            else:
-                logits = jnp.dot(
-                    x, head.astype(x.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-            return logits, new_kp, new_vp
-
-        paged_verify = (
-            paged_verify_gemma2 if self._is_gemma2 else paged_verify_llama
-        )
         if self.mesh is not None:
             # same TP layout as the parent's T=1 decode: pools sharded over
             # KV heads, two psums per block, tables/lengths/toks/logits

@@ -369,3 +369,67 @@ def test_paged_chunked_prefill_matches_unchunked(tiny_q):
     res = eng.run()
     assert [res[r] for r in rids] == want
     assert eng.blocks_in_use == 0
+
+
+def test_pool_prefill_matches_dense_scratch(tiny_q):
+    """pool_prefill=True (prompt chunks written straight into pool blocks,
+    attention via the fused multi-query kernel, no scratch/splice/scatter)
+    reproduces the dense-cache Engine stream — unchunked, chunked at an
+    unaligned width, and with a shared prefix block (zero-copy attend
+    through the block table)."""
+    config, qparams = tiny_q
+    prompts = [[3, 17, 42, 9], [11, 5], [7, 7, 2, 19, 4, 1, 8, 3, 2, 14, 6]]
+    n = 8
+    dense = Engine(params=qparams, config=config, max_len=64, batch_size=3)
+    want = dense.generate(prompts, max_new_tokens=n)
+    for chunk in (None, 4):
+        eng = PagedEngine(
+            params=qparams, config=config, num_slots=3,
+            block_size=8, num_blocks=16, max_len=48,
+            pool_prefill=True, prefill_chunk=chunk,
+        )
+        rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
+        out = eng.run()
+        assert [out[r] for r in rids] == want, f"chunk={chunk}"
+        assert eng.blocks_in_use == 0
+
+    common = [5, 9, 2, 14, 3, 8, 1, 6]  # one full block
+    ps = [common + [20], common + [21]]
+    dense2 = Engine(params=qparams, config=config, max_len=64, batch_size=2)
+    want2 = dense2.generate(ps, max_new_tokens=6)
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=10, max_len=32,
+        pool_prefill=True, prefix_cache_blocks=2,
+    )
+    rids = [eng.submit(p, max_new_tokens=6) for p in ps]
+    out = eng.run()
+    assert [out[r] for r in rids] == want2
+    assert eng.prefix_hits == 1
+
+
+@pytest.mark.slow
+def test_pool_prefill_gemma2_matches_dense():
+    """Gemma-2 through pool-backed prefill: the prompt chunk's per-row
+    sliding windows and softcap ride the same fused kernel."""
+    from flute_tpu.models import gemma2
+
+    config = gemma2.Gemma2Config.tiny()
+    params = gemma2.init_params(config, rng=0)
+    qparams = gemma2.quantize_model(params, num_bits=4, group_size=64)
+    prompts = [[3, 17, 42, 9], [11, 5, 8, 1, 13, 2, 7, 9, 4, 2, 6]]
+    n = 8
+    dense = Engine(
+        params=qparams, config=config, max_len=64, batch_size=len(prompts),
+        forward=gemma2.forward, init_cache=gemma2.init_cache,
+    )
+    want = dense.generate(prompts, max_new_tokens=n)
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=2,
+        block_size=8, num_blocks=10, max_len=32,
+        pool_prefill=True, prefill_chunk=4,
+    )
+    rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
+    out = eng.run()
+    assert [out[r] for r in rids] == want
+    assert eng.blocks_in_use == 0

@@ -144,8 +144,8 @@ def test_pool_pressure_and_prefix_sharing(tiny_pair):
 
 
 def test_guards(tiny_pair):
-    """Constructor guards: missing draft, k >= 1, no TP yet; submit
-    accounts the k+1 verify tail in max_len."""
+    """Constructor guards: missing draft, k >= 1; submit accounts the
+    k+1 verify tail in max_len."""
     config, target, _ = tiny_pair
     with pytest.raises(ValueError, match="draft_params"):
         PagedSpeculativeEngine(params=target, config=config)
@@ -189,6 +189,27 @@ def test_gemma2_paged_speculative_matches_dense():
         params=qparams, config=config,
         draft_params=qparams, draft_config=config,
         k=3, num_slots=2, block_size=8, num_blocks=12, max_len=32,
+    )
+    rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
+    out = eng.run()
+    assert [out[r] for r in rids] == want
+    assert eng.stats.bonus > 0
+    assert eng.blocks_in_use == 0
+
+
+@pytest.mark.slow
+def test_pool_prefill_speculative(tiny_pair):
+    """pool_prefill composes with speculation: admission rides the shared
+    multi-token paged forward, rounds still equal plain greedy decode."""
+    config, target, _ = tiny_pair
+    prompts = [[3, 17, 42, 9], [11, 5, 8, 1, 13, 2, 7]]
+    n = 8
+    want = _greedy_oracle(config, target, prompts, n)
+    eng = PagedSpeculativeEngine(
+        params=target, config=config,
+        draft_params=target, draft_config=config,
+        k=3, num_slots=2, block_size=8, num_blocks=14, max_len=48,
+        pool_prefill=True,
     )
     rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
     out = eng.run()

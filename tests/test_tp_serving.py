@@ -246,3 +246,36 @@ def test_paged_speculative_tp_matches_single_device(tiny_fused):
 
     assert out1 == out_tp
     assert eng_tp.blocks_in_use == 0
+
+
+@pytest.mark.slow
+def test_pool_prefill_tp_matches_single_device(tiny_fused):
+    """pool_prefill under tp=2: the shared multi-token paged forward
+    (chunked, straight into head-sharded pool blocks) runs under
+    shard_map and reproduces the single-device stream."""
+    from flute_tpu.serving.paged import PagedEngine
+
+    config, qparams = tiny_fused
+    prompts = [[3, 17, 42, 9], [11, 5, 8, 1, 13, 2, 7]]
+    n = 8
+
+    def run(engine):
+        rids = [engine.submit(p, max_new_tokens=n) for p in prompts]
+        out = engine.run()
+        return [out[r] for r in rids]
+
+    eng1 = PagedEngine(
+        params=qparams, config=config, num_slots=2, block_size=8,
+        num_blocks=12, max_len=32, pool_prefill=True, prefill_chunk=4,
+    )
+    out1 = run(eng1)
+
+    mesh = make_mesh(tp=2, dp=1)
+    pparams = permute_fused_params(qparams, config, tp=2)
+    eng_tp = PagedEngine(
+        params=pparams, config=config, num_slots=2, block_size=8,
+        num_blocks=12, max_len=32, pool_prefill=True, prefill_chunk=4,
+        mesh=mesh,
+    )
+    assert run(eng_tp) == out1
+    assert eng_tp.blocks_in_use == 0
