@@ -203,10 +203,11 @@ def _cmd_calibrate(args):
     print(f"NFL-calibrated checkpoint written to {args.output_dir}")
 
 
-def _cmd_serve(args):
+def build_serve_engine(args):
+    """Construct the serving engine + tokenizer for ``serve`` args (factored
+    out of _cmd_serve so flag plumbing is testable without binding a port)."""
     from flute_tpu.integrations.huggingface import load_quantized_model, model_fns
     from flute_tpu.serving.continuous import ContinuousBatchingEngine
-    from flute_tpu.serving.server import serve
 
     params, config, sidecar = load_quantized_model(
         args.checkpoint, batch_size=args.num_slots, retune=args.retune
@@ -284,6 +285,13 @@ def _cmd_serve(args):
             prefix_block=args.prefix_block,
             mesh=mesh,
         )
+    return eng, tok
+
+
+def _cmd_serve(args):
+    from flute_tpu.serving.server import serve
+
+    eng, tok = build_serve_engine(args)
     srv = serve(eng, host=args.host, port=args.port, tokenizer=tok)
     print(f"serving on http://{args.host}:{srv.server_address[1]}/v1/completions")
     import time as _time
@@ -302,7 +310,7 @@ def _cmd_bench_kernel(args):
     runpy.run_path("bench.py", run_name="__main__")
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(prog="flute_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -407,7 +415,11 @@ def main(argv=None):
     b = sub.add_parser("bench-kernel", help="run the kernel benchmark")
     b.set_defaults(fn=_cmd_bench_kernel)
 
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     args.fn(args)
 
 

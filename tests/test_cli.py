@@ -90,3 +90,54 @@ def test_cli_generate_speculative(hf_dir, tmp_path, capsys):
     ])
     spec = capsys.readouterr().out.strip().splitlines()[-1]
     assert spec == plain
+
+
+@pytest.mark.slow
+def test_cli_serve_engine_plumbing(hf_dir, tmp_path):
+    """serve flag plumbing via build_serve_engine (no port bound): default
+    -> continuous engine; --paged --pool-prefill -> PagedEngine with pool
+    prefill; + --draft-checkpoint -> PagedSpeculativeEngine. Each engine
+    actually decodes a few tokens."""
+    from flute_tpu.serving import (
+        ContinuousBatchingEngine,
+        PagedEngine,
+        PagedSpeculativeEngine,
+    )
+
+    tgt = str(tmp_path / "w4")
+    drf = str(tmp_path / "w2")
+    cli.main([
+        "quantize", "--model-dir", hf_dir, "--output-dir", tgt,
+        "--num-bits", "4", "--group-size", "64",
+    ])
+    cli.main([
+        "quantize", "--model-dir", hf_dir, "--output-dir", drf,
+        "--num-bits", "2", "--group-size", "64",
+    ])
+    p = cli.build_parser()
+
+    def build(extra):
+        args = p.parse_args(
+            ["serve", "--checkpoint", tgt, "--num-slots", "2",
+             "--max-len", "64", "--block-size", "8", "--num-blocks", "12"]
+            + extra
+        )
+        return cli.build_serve_engine(args)[0]
+
+    eng = build([])
+    assert isinstance(eng, ContinuousBatchingEngine)
+
+    eng = build(["--paged", "--pool-prefill"])
+    assert isinstance(eng, PagedEngine) and eng.pool_prefill
+    eng.submit([1, 5, 9], max_new_tokens=3)
+    out = eng.run()
+    assert len(out[0]) == 3
+
+    eng = build(["--paged", "--draft-checkpoint", drf, "--speculative-k", "2"])
+    assert isinstance(eng, PagedSpeculativeEngine) and eng.k == 2
+    eng.submit([1, 5, 9], max_new_tokens=3)
+    out = eng.run()
+    assert len(out[0]) == 3
+
+    with pytest.raises(SystemExit):
+        build(["--draft-checkpoint", drf])  # requires --paged
