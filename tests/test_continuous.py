@@ -18,6 +18,7 @@ def tiny_q():
     return config, qparams
 
 
+@pytest.mark.slow
 def test_more_requests_than_slots(tiny_q):
     config, qparams = tiny_q
     eng = ContinuousBatchingEngine(

@@ -161,6 +161,7 @@ def test_unpack_via_kernel_recovers_codes():
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(codes))
 
 
+@pytest.mark.slow
 def test_accum_modes():
     """Accumulation-policy ablation (reference AccumulationModeEnum
     {Low, High}, config.hpp:111): low-precision accumulation stays within

@@ -133,14 +133,17 @@ def test_paged_engine_matches_dense_engine(tiny_q):
     """Greedy outputs through the paged pool equal the dense-cache Engine
     (same model, same prompts) and all blocks return to the free list."""
     config, qparams = tiny_q
-    prompts = [[3, 17, 42, 9], [11, 5], [7, 7, 2, 19, 4]]
-    n = 8
+    # two prompts (one admission bucket each) keep the fast tier lean;
+    # per-sequence streams are batch-composition-independent, so dropping
+    # a prompt does not change the remaining oracles
+    prompts = [[3, 17, 42, 9], [11, 5]]
+    n = 6
     dense = Engine(params=qparams, config=config, max_len=64,
                    batch_size=len(prompts))
     want = dense.generate(prompts, max_new_tokens=n)
 
     eng = PagedEngine(
-        params=qparams, config=config, num_slots=3,
+        params=qparams, config=config, num_slots=2,
         block_size=8, num_blocks=12, max_len=32,
     )
     rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
@@ -374,24 +377,41 @@ def test_paged_chunked_prefill_matches_unchunked(tiny_q):
 def test_pool_prefill_matches_dense_scratch(tiny_q):
     """pool_prefill=True (prompt chunks written straight into pool blocks,
     attention via the fused multi-query kernel, no scratch/splice/scatter)
-    reproduces the dense-cache Engine stream — unchunked, chunked at an
-    unaligned width, and with a shared prefix block (zero-copy attend
-    through the block table)."""
+    reproduces the dense-cache Engine stream (unchunked; the chunked and
+    prefix-sharing variants are in the slow tier)."""
     config, qparams = tiny_q
     prompts = [[3, 17, 42, 9], [11, 5], [7, 7, 2, 19, 4, 1, 8, 3, 2, 14, 6]]
     n = 8
     dense = Engine(params=qparams, config=config, max_len=64, batch_size=3)
     want = dense.generate(prompts, max_new_tokens=n)
-    for chunk in (None, 4):
-        eng = PagedEngine(
-            params=qparams, config=config, num_slots=3,
-            block_size=8, num_blocks=16, max_len=48,
-            pool_prefill=True, prefill_chunk=chunk,
-        )
-        rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
-        out = eng.run()
-        assert [out[r] for r in rids] == want, f"chunk={chunk}"
-        assert eng.blocks_in_use == 0
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=3,
+        block_size=8, num_blocks=16, max_len=48, pool_prefill=True,
+    )
+    rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
+    out = eng.run()
+    assert [out[r] for r in rids] == want
+    assert eng.blocks_in_use == 0
+
+
+@pytest.mark.slow
+def test_pool_prefill_chunked_and_prefix(tiny_q):
+    """pool_prefill chunked at an unaligned width, and with a shared
+    prefix block (zero-copy attend through the block table)."""
+    config, qparams = tiny_q
+    prompts = [[3, 17, 42, 9], [11, 5], [7, 7, 2, 19, 4, 1, 8, 3, 2, 14, 6]]
+    n = 8
+    dense = Engine(params=qparams, config=config, max_len=64, batch_size=3)
+    want = dense.generate(prompts, max_new_tokens=n)
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=3,
+        block_size=8, num_blocks=16, max_len=48,
+        pool_prefill=True, prefill_chunk=4,
+    )
+    rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
+    out = eng.run()
+    assert [out[r] for r in rids] == want
+    assert eng.blocks_in_use == 0
 
     common = [5, 9, 2, 14, 3, 8, 1, 6]  # one full block
     ps = [common + [20], common + [21]]

@@ -45,13 +45,13 @@ def test_self_draft_matches_greedy_with_bonus(tiny_pair):
     fully accepts, so tokens arrive k+1 per round (bonus flowing) and all
     pool blocks return."""
     config, target, _ = tiny_pair
-    prompts = [[3, 17, 42, 9], [11, 5], [7, 7, 2, 19, 4]]
+    prompts = [[3, 17, 42, 9], [11, 5]]
     n = 8
     want = _greedy_oracle(config, target, prompts, n)
     eng = PagedSpeculativeEngine(
         params=target, config=config,
         draft_params=target, draft_config=config,
-        k=3, num_slots=3, block_size=8, num_blocks=16, max_len=64,
+        k=3, num_slots=2, block_size=8, num_blocks=16, max_len=64,
     )
     rids = [eng.submit(p, max_new_tokens=n) for p in prompts]
     out = eng.run()
