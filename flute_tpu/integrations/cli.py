@@ -292,7 +292,8 @@ def _cmd_serve(args):
     from flute_tpu.serving.server import serve
 
     eng, tok = build_serve_engine(args)
-    srv = serve(eng, host=args.host, port=args.port, tokenizer=tok)
+    srv = serve(eng, host=args.host, port=args.port, tokenizer=tok,
+                model_id=args.checkpoint)
     print(f"serving on http://{args.host}:{srv.server_address[1]}/v1/completions")
     import time as _time
 

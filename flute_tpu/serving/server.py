@@ -18,6 +18,16 @@ Endpoints:
 With ``"stream": true`` the response is chunked newline-delimited JSON —
 one ``{"token": t}`` object per generated token as it is produced, then a
 final ``{"done": true, "tokens": [...]}`` record.
+
+**OpenAI compatibility**: a request that carries a ``"model"`` field (the
+OpenAI SDK always sends one) is answered in the OpenAI completions
+schema instead — ``{"object": "text_completion", "choices": [{"text",
+"index", "finish_reason"}], "usage": {...}}``; streaming becomes
+server-sent events (``data: {chunk}\n\n`` … ``data: [DONE]``) with
+per-token text deltas. This is the contract the reference gets from
+vLLM's ``vllm.entrypoints.openai.api_server`` (reference vllm.py:28-50),
+so existing OpenAI clients can point at this server unchanged. Requests
+without ``"model"`` keep the lightweight token-id schema above.
 """
 
 from __future__ import annotations
@@ -35,9 +45,11 @@ from flute_tpu.serving.continuous import ContinuousBatchingEngine, SamplingParam
 class ServingLoop:
     """Background thread that steps the engine whenever work is queued."""
 
-    def __init__(self, engine: ContinuousBatchingEngine, tokenizer=None):
+    def __init__(self, engine: ContinuousBatchingEngine, tokenizer=None,
+                 model_id: str = "flute-tpu"):
         self.engine = engine
         self.tokenizer = tokenizer
+        self.model_id = model_id
         self._lock = threading.Lock()
         self._results: dict[int, Any] = {}
         self._events: dict[int, threading.Event] = {}
@@ -132,6 +144,27 @@ def _parse_sampling(req: dict) -> SamplingParams:
     )
 
 
+def _finish_reason(n_out: int, max_tokens: int) -> str:
+    return "length" if n_out >= max_tokens else "stop"
+
+
+def _oai_completion(rid, model, toks, max_tokens, tokenizer, created):
+    out = {
+        "id": f"cmpl-{rid}",
+        "object": "text_completion",
+        "created": created,
+        "model": model,
+        "choices": [{
+            "index": 0,
+            "text": tokenizer.decode(toks) if tokenizer is not None else "",
+            "token_ids": toks,  # extension: available without a tokenizer
+            "finish_reason": _finish_reason(len(toks), max_tokens),
+        }],
+        "usage": None,  # filled by caller (needs prompt length)
+    }
+    return out
+
+
 def make_handler(loop: ServingLoop):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -150,6 +183,14 @@ def make_handler(loop: ServingLoop):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._send(200, {
+                    "object": "list",
+                    "data": [{
+                        "id": loop.model_id, "object": "model",
+                        "owned_by": "flute-tpu",
+                    }],
+                })
             else:
                 self._send(404, {"error": "not found"})
 
@@ -176,39 +217,100 @@ def make_handler(loop: ServingLoop):
                 self._send(400, {"error": str(e)})
                 return
 
+            # requests carrying "model" get the OpenAI completions schema
+            # (the OpenAI SDK always sends one); others keep the
+            # lightweight token-id schema
+            model = req.get("model")
+
             if not stream:
                 try:
                     rid = loop.submit(prompt, max_tokens, sampling)
                     toks = loop.wait(rid)
-                    out: dict = {"id": rid, "tokens": toks}
-                    if loop.tokenizer is not None:
-                        out["text"] = loop.tokenizer.decode(toks)
+                    if model is not None:
+                        out = _oai_completion(
+                            rid, model, toks, max_tokens, loop.tokenizer,
+                            created=int(time.time()),
+                        )
+                        out["usage"] = {
+                            "prompt_tokens": len(prompt),
+                            "completion_tokens": len(toks),
+                            "total_tokens": len(prompt) + len(toks),
+                        }
+                    else:
+                        out = {"id": rid, "tokens": toks}
+                        if loop.tokenizer is not None:
+                            out["text"] = loop.tokenizer.decode(toks)
                     self._send(200, out)
                 except Exception as e:  # noqa: BLE001
                     self._send(400, {"error": str(e)})
                 return
 
-            # streamed: chunked newline-delimited JSON, token by token
             rid = loop.submit(prompt, max_tokens, sampling, stream=True)
             self.send_response(200)
-            self.send_header("Content-Type", "application/x-ndjson")
+            ctype = (
+                "text/event-stream" if model is not None
+                else "application/x-ndjson"
+            )
+            self.send_header("Content-Type", ctype)
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
 
-            def chunk(obj: dict):
-                data = (json.dumps(obj) + "\n").encode()
+            def chunk_raw(data: bytes):
                 self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
                 self.wfile.flush()
 
+            def chunk(obj: dict):
+                chunk_raw((json.dumps(obj) + "\n").encode())
+
+            def sse(obj) -> None:
+                body = obj if isinstance(obj, str) else json.dumps(obj)
+                chunk_raw(f"data: {body}\n\n".encode())
+
+            created = int(time.time())
             toks = []
             try:
-                for tok in loop.stream_tokens(rid):
-                    toks.append(tok)
-                    chunk({"token": tok})
-                final: dict = {"done": True, "id": rid, "tokens": toks}
-                if loop.tokenizer is not None:
-                    final["text"] = loop.tokenizer.decode(toks)
-                chunk(final)
+                if model is not None:
+                    # OpenAI SSE stream: per-token text deltas, a final
+                    # chunk with finish_reason, then the [DONE] sentinel
+                    for tok in loop.stream_tokens(rid):
+                        toks.append(tok)
+                        delta = (
+                            loop.tokenizer.decode([tok])
+                            if loop.tokenizer is not None else ""
+                        )
+                        sse({
+                            "id": f"cmpl-{rid}",
+                            "object": "text_completion",
+                            "created": created,
+                            "model": model,
+                            "choices": [{
+                                "index": 0, "text": delta,
+                                "token_ids": [tok],
+                                "finish_reason": None,
+                            }],
+                        })
+                    sse({
+                        "id": f"cmpl-{rid}",
+                        "object": "text_completion",
+                        "created": created,
+                        "model": model,
+                        "choices": [{
+                            "index": 0, "text": "", "token_ids": [],
+                            "finish_reason": _finish_reason(
+                                len(toks), max_tokens
+                            ),
+                        }],
+                    })
+                    sse("[DONE]")
+                else:
+                    # legacy newline-delimited JSON, token by token
+                    for tok in loop.stream_tokens(rid):
+                        toks.append(tok)
+                        chunk({"token": tok})
+                    final: dict = {"done": True, "id": rid, "tokens": toks}
+                    if loop.tokenizer is not None:
+                        final["text"] = loop.tokenizer.decode(toks)
+                    chunk(final)
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
@@ -222,10 +324,11 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8000,
     tokenizer=None,
+    model_id: str = "flute-tpu",
 ) -> ThreadingHTTPServer:
     """Start the HTTP server (non-blocking; returns the server object).
     Call ``server.shutdown()`` / ``server.loop.shutdown()`` to stop."""
-    loop = ServingLoop(engine, tokenizer)
+    loop = ServingLoop(engine, tokenizer, model_id=model_id)
     server = ThreadingHTTPServer((host, port), make_handler(loop))
     server.loop = loop  # type: ignore[attr-defined]
     t = threading.Thread(target=server.serve_forever, daemon=True)

@@ -231,3 +231,48 @@ def test_paged_speculative_server():
     finally:
         srv.shutdown()
         srv.loop.shutdown()
+
+
+def test_openai_schema(server):
+    """A request carrying "model" (as every OpenAI SDK does) gets the
+    OpenAI completions schema — non-streamed object shape + usage, SSE
+    streaming with [DONE], and GET /v1/models — while the same prompt
+    without "model" keeps the lightweight schema and yields the same
+    token ids."""
+    _, legacy = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4})
+
+    code, out = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4,
+                               "model": "tiny"})
+    assert code == 200
+    assert out["object"] == "text_completion"
+    assert out["model"] == "tiny"
+    choice = out["choices"][0]
+    assert choice["token_ids"] == legacy["tokens"]
+    assert choice["finish_reason"] == "length"
+    assert out["usage"] == {"prompt_tokens": 3, "completion_tokens": 4,
+                            "total_tokens": 7}
+
+    port = server.server_address[1]
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/v1/models", timeout=30
+    ) as r:
+        models = json.loads(r.read())
+    assert models["object"] == "list" and models["data"][0]["object"] == "model"
+
+    # SSE stream: data: {chunk} records then data: [DONE]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt": [1, 5, 9], "max_tokens": 4,
+                         "model": "tiny", "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        lines = [ln.decode().strip() for ln in r if ln.strip()]
+    assert all(ln.startswith("data: ") for ln in lines)
+    assert lines[-1] == "data: [DONE]"
+    chunks = [json.loads(ln[6:]) for ln in lines[:-1]]
+    toks = [c["choices"][0]["token_ids"][0] for c in chunks
+            if c["choices"][0]["token_ids"]]
+    assert toks == legacy["tokens"]
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"
