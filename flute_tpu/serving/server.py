@@ -195,19 +195,36 @@ def make_handler(loop: ServingLoop):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path not in ("/v1/completions", "/completions"):
+            chat = self.path in ("/v1/chat/completions", "/chat/completions")
+            if not chat and self.path not in ("/v1/completions", "/completions"):
                 self._send(404, {"error": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                prompt = req.get("prompt")
-                if isinstance(prompt, str):
-                    if loop.tokenizer is None:
+                if chat:
+                    msgs = req.get("messages")
+                    if not isinstance(msgs, list) or not msgs:
+                        raise ValueError("messages must be a non-empty list")
+                    if loop.tokenizer is None or not hasattr(
+                        loop.tokenizer, "apply_chat_template"
+                    ):
                         raise ValueError(
-                            "text prompts require a tokenizer; send token ids"
+                            "chat completions require a tokenizer with a "
+                            "chat template"
                         )
-                    prompt = loop.tokenizer(prompt)["input_ids"]
+                    prompt = loop.tokenizer.apply_chat_template(
+                        msgs, add_generation_prompt=True
+                    )
+                else:
+                    prompt = req.get("prompt")
+                    if isinstance(prompt, str):
+                        if loop.tokenizer is None:
+                            raise ValueError(
+                                "text prompts require a tokenizer; "
+                                "send token ids"
+                            )
+                        prompt = loop.tokenizer(prompt)["input_ids"]
                 if not isinstance(prompt, list) or not prompt:
                     raise ValueError("prompt must be a non-empty token list")
                 max_tokens = int(req.get("max_tokens", 64))
@@ -217,29 +234,50 @@ def make_handler(loop: ServingLoop):
                 self._send(400, {"error": str(e)})
                 return
 
-            # requests carrying "model" get the OpenAI completions schema
-            # (the OpenAI SDK always sends one); others keep the
-            # lightweight token-id schema
+            # chat requests, and completion requests carrying "model" (the
+            # OpenAI SDK always sends one), get the OpenAI schema; others
+            # keep the lightweight token-id schema
             model = req.get("model")
+            if chat and model is None:
+                model = loop.model_id
 
             if not stream:
                 try:
                     rid = loop.submit(prompt, max_tokens, sampling)
                     toks = loop.wait(rid)
-                    if model is not None:
+                    if chat:
+                        out = {
+                            "id": f"chatcmpl-{rid}",
+                            "object": "chat.completion",
+                            "created": int(time.time()),
+                            "model": model,
+                            "choices": [{
+                                "index": 0,
+                                "message": {
+                                    "role": "assistant",
+                                    "content": loop.tokenizer.decode(toks),
+                                },
+                                "finish_reason": _finish_reason(
+                                    len(toks), max_tokens
+                                ),
+                            }],
+                        }
+                    elif model is not None:
                         out = _oai_completion(
                             rid, model, toks, max_tokens, loop.tokenizer,
                             created=int(time.time()),
                         )
-                        out["usage"] = {
-                            "prompt_tokens": len(prompt),
-                            "completion_tokens": len(toks),
-                            "total_tokens": len(prompt) + len(toks),
-                        }
                     else:
                         out = {"id": rid, "tokens": toks}
                         if loop.tokenizer is not None:
                             out["text"] = loop.tokenizer.decode(toks)
+                        self._send(200, out)
+                        return
+                    out["usage"] = {
+                        "prompt_tokens": len(prompt),
+                        "completion_tokens": len(toks),
+                        "total_tokens": len(prompt) + len(toks),
+                    }
                     self._send(200, out)
                 except Exception as e:  # noqa: BLE001
                     self._send(400, {"error": str(e)})
@@ -269,7 +307,32 @@ def make_handler(loop: ServingLoop):
             created = int(time.time())
             toks = []
             try:
-                if model is not None:
+                if chat:
+                    # OpenAI chat SSE: role chunk, per-token content
+                    # deltas, finish chunk, [DONE]
+                    def chat_chunk(delta, finish=None):
+                        sse({
+                            "id": f"chatcmpl-{rid}",
+                            "object": "chat.completion.chunk",
+                            "created": created,
+                            "model": model,
+                            "choices": [{
+                                "index": 0, "delta": delta,
+                                "finish_reason": finish,
+                            }],
+                        })
+
+                    chat_chunk({"role": "assistant"})
+                    for tok in loop.stream_tokens(rid):
+                        toks.append(tok)
+                        chat_chunk(
+                            {"content": loop.tokenizer.decode([tok])}
+                        )
+                    chat_chunk({}, finish=_finish_reason(
+                        len(toks), max_tokens
+                    ))
+                    sse("[DONE]")
+                elif model is not None:
                     # OpenAI SSE stream: per-token text deltas, a final
                     # chunk with finish_reason, then the [DONE] sentinel
                     for tok in loop.stream_tokens(rid):

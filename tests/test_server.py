@@ -276,3 +276,77 @@ def test_openai_schema(server):
             if c["choices"][0]["token_ids"]]
     assert toks == legacy["tokens"]
     assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+
+def test_chat_completions():
+    """/v1/chat/completions renders messages through the tokenizer's chat
+    template and answers in the OpenAI chat schema (object + SSE chunk
+    stream); output ids equal a plain completion on the templated
+    prompt."""
+
+    class StubTok:
+        # duck-typed tokenizer: template = flatten ids with a 7 separator
+        eos_token_id = None
+
+        def apply_chat_template(self, messages, add_generation_prompt=True):
+            ids = []
+            for m in messages:
+                ids.extend(int(t) for t in m["content"].split())
+                ids.append(7)
+            return ids
+
+        def __call__(self, text):
+            return {"input_ids": [int(t) for t in text.split()]}
+
+        def decode(self, toks):
+            # leading space per token so per-token streamed decodes
+            # concatenate into the same string as a whole-list decode
+            return "".join(f" {t}" for t in toks)
+
+    config = llama.LlamaConfig.tiny()
+    params = llama.init_params(config, rng=0)
+    qparams = llama.quantize_model(params, num_bits=4, group_size=64)
+    eng = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=2, max_len=32
+    )
+    srv = serve(eng, port=0, tokenizer=StubTok(), model_id="tiny-chat")
+    try:
+        msgs = [{"role": "user", "content": "1 5 9"}]
+        _, want = _post(srv, {"prompt": [1, 5, 9, 7], "max_tokens": 4})
+
+        port = srv.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": msgs, "max_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert out["object"] == "chat.completion"
+        assert out["model"] == "tiny-chat"
+        msg = out["choices"][0]["message"]
+        assert msg["role"] == "assistant"
+        assert msg["content"].split() == [str(t) for t in want["tokens"]]
+        assert out["choices"][0]["finish_reason"] == "length"
+        assert out["usage"]["prompt_tokens"] == 4
+
+        # streamed chat: role delta, content deltas, finish, [DONE]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": msgs, "max_tokens": 4,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            lines = [ln.decode().strip() for ln in r if ln.strip()]
+        assert lines[-1] == "data: [DONE]"
+        chunks = [json.loads(ln[6:]) for ln in lines[:-1]]
+        assert chunks[0]["choices"][0]["delta"] == {"role": "assistant"}
+        content = "".join(
+            c["choices"][0]["delta"].get("content", "") for c in chunks
+        )
+        assert content.split() == [str(t) for t in want["tokens"]]
+        assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+    finally:
+        srv.shutdown()
+        srv.loop.shutdown()
