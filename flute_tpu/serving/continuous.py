@@ -81,12 +81,21 @@ _sample_slots = jax.vmap(_sample_row)
 
 @dataclasses.dataclass
 class SamplingParams:
-    """Per-request sampling controls (greedy by default)."""
+    """Per-request sampling controls (greedy by default).
+
+    ``stop_token_ids``: extra per-request stop tokens (vLLM's
+    SamplingParams.stop_token_ids) — generation finishes when one is
+    produced, in addition to the engine-wide ``eos_id``; like eos, the
+    stop token itself is not emitted."""
 
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
     seed: int = 0
+    stop_token_ids: tuple = ()
+
+    def __post_init__(self):
+        self.stop_token_ids = tuple(self.stop_token_ids)
 
 
 @dataclasses.dataclass
@@ -442,7 +451,10 @@ class ContinuousBatchingEngine:
         req = self._slots[slot]
         if req is None:
             return
-        if (self.eos_id is not None and tok == self.eos_id) or req.done:
+        stop = (
+            self.eos_id is not None and tok == self.eos_id
+        ) or tok in req.sampling.stop_token_ids
+        if stop or req.done:
             req.done = True
         else:
             req.out.append(tok)

@@ -167,6 +167,7 @@ class PagedEngine:
         self._top_k = np.zeros((self.num_slots,), np.int32)
         self._top_p = np.ones((self.num_slots,), np.float32)
         self._seeds = np.zeros((self.num_slots,), np.int32)
+        self._stop: list[frozenset] = [frozenset()] * self.num_slots
         self._gen_count = np.zeros((self.num_slots,), np.int32)
         self._key = jax.random.PRNGKey(0)
         self._queue: list = []
@@ -664,6 +665,7 @@ class PagedEngine:
             self._top_k[slot] = sampling.top_k
             self._top_p[slot] = sampling.top_p
             self._seeds[slot] = sampling.seed
+            self._stop[slot] = frozenset(sampling.stop_token_ids)
 
             p0 = len(shared) * bs
             rem = plen - p0
@@ -759,7 +761,9 @@ class PagedEngine:
 
     def _record(self, slot: int, tok: int):
         rid = self._slot_req[slot]
-        if self.eos_id is not None and tok == self.eos_id:
+        if (
+            self.eos_id is not None and tok == self.eos_id
+        ) or tok in self._stop[slot]:
             self._finish(slot)
             return
         self._out[rid].append(tok)
@@ -799,6 +803,7 @@ class PagedEngine:
         self._slot_shared[slot] = []
         self._slot_prompt[slot] = None
         self._slot_req[slot] = None
+        self._stop[slot] = frozenset()
         # park the slot on the trash block at length 0 so its junk decode
         # writes stay out of live blocks
         self._tables[slot, :] = 0

@@ -141,6 +141,9 @@ def _parse_sampling(req: dict) -> SamplingParams:
         top_k=int(req.get("top_k", 0)),
         top_p=float(req.get("top_p", 1.0)),
         seed=int(req.get("seed", 0)),
+        stop_token_ids=tuple(
+            int(t) for t in req.get("stop_token_ids", ())
+        ),
     )
 
 

@@ -255,3 +255,28 @@ def test_prefix_block_store_and_lookup_unit():
     eng._store_prefix(p2, cache, start=0, plen=8)
     assert len(eng._prefix_store) == 3
     assert tuple(prompt[:8]) not in eng._prefix_store
+
+
+def test_stop_token_ids_truncate(tiny_q):
+    """Per-request stop_token_ids (vLLM SamplingParams parity): the
+    stream truncates just before the first stop token; other requests in
+    the same batch are unaffected."""
+    config, qparams = tiny_q
+    eng = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=2, max_len=32
+    )
+    r1 = eng.submit([3, 17, 42, 9], max_new_tokens=8)
+    r2 = eng.submit([11, 5], max_new_tokens=8)
+    out = eng.run()
+    full1, full2 = out[r1], out[r2]
+    assert len(full1) == 8
+    stop = full1[3]  # cut request 1 after 3 tokens
+
+    eng = ContinuousBatchingEngine(
+        params=qparams, config=config, num_slots=2, max_len=32
+    )
+    r1 = eng.submit([3, 17, 42, 9], max_new_tokens=8, stop_token_ids=(stop,))
+    r2 = eng.submit([11, 5], max_new_tokens=8)
+    out = eng.run()
+    assert out[r1] == full1[:full1.index(stop)]
+    assert out[r2] == full2

@@ -453,3 +453,37 @@ def test_pool_prefill_gemma2_matches_dense():
     out = eng.run()
     assert [out[r] for r in rids] == want
     assert eng.blocks_in_use == 0
+
+
+@pytest.mark.slow
+def test_stop_token_ids_paged_and_speculative(tiny_q):
+    """stop_token_ids through the paged engine and the speculative paged
+    engine (a stop hit mid-verify-round must truncate the emitted run and
+    free the slot's blocks)."""
+    from flute_tpu.serving.paged_spec import PagedSpeculativeEngine
+
+    config, qparams = tiny_q
+    ref = PagedEngine(
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=8, max_len=32,
+    )
+    rid = ref.submit([3, 17, 42, 9], max_new_tokens=8)
+    full = ref.run()[rid]
+    stop = full[3]
+
+    eng = PagedEngine(
+        params=qparams, config=config, num_slots=1,
+        block_size=8, num_blocks=8, max_len=32,
+    )
+    rid = eng.submit([3, 17, 42, 9], max_new_tokens=8, stop_token_ids=(stop,))
+    assert eng.run()[rid] == full[:full.index(stop)]
+    assert eng.blocks_in_use == 0
+
+    spec = PagedSpeculativeEngine(
+        params=qparams, config=config,
+        draft_params=qparams, draft_config=config,
+        k=3, num_slots=1, block_size=8, num_blocks=10, max_len=48,
+    )
+    rid = spec.submit([3, 17, 42, 9], max_new_tokens=8, stop_token_ids=(stop,))
+    assert spec.run()[rid] == full[:full.index(stop)]
+    assert spec.blocks_in_use == 0
