@@ -105,6 +105,9 @@ class _Request:
     max_new_tokens: int
     sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
     out: list = dataclasses.field(default_factory=list)
+    # log p(token) under the raw model distribution (log-softmax of the
+    # unwarped logits), parallel to ``out`` — the OpenAI "logprobs" field
+    logprobs: list = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -174,15 +177,20 @@ class ContinuousBatchingEngine:
             keys = jax.vmap(
                 lambda s, c: jax.random.fold_in(jax.random.fold_in(key, s), c)
             )(seeds, gen_counts)
-            nxt = _sample_slots(keys, logits[:, -1], temp, top_k, top_p)
-            return nxt, cache
+            row = logits[:, -1].astype(jnp.float32)
+            nxt = _sample_slots(keys, row, temp, top_k, top_p)
+            lp = jax.nn.log_softmax(row)[jnp.arange(row.shape[0]), nxt]
+            return nxt, lp, cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step_greedy(params, tokens, cache, pos_vec):
             # fast path when every active slot is greedy: skips the per-slot
             # [V] sorts of the sampling program
             logits, cache = fwd(params, config, tokens, cache, pos_vec)
-            return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+            row = logits[:, -1].astype(jnp.float32)
+            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+            lp = jax.nn.log_softmax(row)[jnp.arange(row.shape[0]), nxt]
+            return nxt, lp, cache
 
         self._decode = decode_step
         self._decode_greedy = decode_step_greedy
@@ -210,6 +218,7 @@ class ContinuousBatchingEngine:
             )
         self._next_rid = 0
         self._finished: dict[int, list] = {}
+        self.finished_logprobs: dict[int, list] = {}
         from collections import OrderedDict
 
         # key = tuple(prompt[:i*prefix_block]) -> K/V of block i only
@@ -434,6 +443,9 @@ class ContinuousBatchingEngine:
                         (slot, 0, 0, 0),
                     )
             tok = self._sample_first(last_logits, req.sampling)
+            row = np.asarray(last_logits, np.float32)
+            m = float(row.max())
+            first_lp = float(row[tok]) - (m + float(np.log(np.exp(row - m).sum())))
             self._slots[slot] = req
             self._pos[slot] = plen
             self._last_tok[slot] = tok
@@ -443,11 +455,11 @@ class ContinuousBatchingEngine:
             self._top_k[slot] = s.top_k
             self._top_p[slot] = s.top_p
             self._seeds[slot] = s.seed
-            self._record(slot, tok)
+            self._record(slot, tok, first_lp)
 
     # -- stepping ----------------------------------------------------------
 
-    def _record(self, slot: int, tok: int):
+    def _record(self, slot: int, tok: int, lp: float = None):
         req = self._slots[slot]
         if req is None:
             return
@@ -458,6 +470,8 @@ class ContinuousBatchingEngine:
             req.done = True
         else:
             req.out.append(tok)
+            if lp is not None:
+                req.logprobs.append(lp)
             if self.token_callback is not None:
                 self.token_callback(req.rid, tok)
         if (
@@ -467,6 +481,7 @@ class ContinuousBatchingEngine:
         ):
             req.done = True
             self._finished[req.rid] = req.out
+            self.finished_logprobs[req.rid] = req.logprobs
             self._slots[slot] = None
 
     def step(self) -> bool:
@@ -479,23 +494,24 @@ class ContinuousBatchingEngine:
         tokens = jnp.asarray(self._last_tok[:, None])
         pos_vec = jnp.asarray(self._pos)
         if all(self._temp[i] <= 0 for i in active):
-            nxt, self._cache = self._decode_greedy(
+            nxt, lp, self._cache = self._decode_greedy(
                 self.params, tokens, self._cache, pos_vec
             )
         else:
-            nxt, self._cache = self._decode(
+            nxt, lp, self._cache = self._decode(
                 self.params, tokens, self._cache, pos_vec,
                 self._key, jnp.asarray(self._gen_count),
                 jnp.asarray(self._temp), jnp.asarray(self._top_k),
                 jnp.asarray(self._top_p), jnp.asarray(self._seeds),
             )
         nxt_np = np.asarray(nxt)
+        lp_np = np.asarray(lp)
         for slot in active:
             self._pos[slot] += 1
             self._gen_count[slot] += 1
             tok = int(nxt_np[slot])
             self._last_tok[slot] = tok
-            self._record(slot, tok)
+            self._record(slot, tok, float(lp_np[slot]))
         return bool(self._queue) or any(r is not None for r in self._slots)
 
     def run(self) -> dict[int, list]:

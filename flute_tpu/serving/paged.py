@@ -54,6 +54,12 @@ from flute_tpu.serving.continuous import (
 )
 
 
+def _row_logprob(row: np.ndarray, tok: int) -> float:
+    """log-softmax of one f32 logits row at ``tok`` (host side)."""
+    m = float(row.max())
+    return float(row[tok]) - (m + float(np.log(np.exp(row - m).sum())))
+
+
 @dataclasses.dataclass
 class PagedEngine:
     """Slot-based engine over a paged KV pool (greedy or per-request
@@ -162,6 +168,8 @@ class PagedEngine:
         self._slot_req: list[Optional[int]] = [None] * self.num_slots
         self._budget: dict[int, int] = {}
         self._out: dict[int, list] = {}
+        self._out_lp: dict[int, list] = {}
+        self.finished_logprobs: dict[int, list] = {}
         self._last = np.zeros((self.num_slots,), np.int32)
         self._temp = np.zeros((self.num_slots,), np.float32)
         self._top_k = np.zeros((self.num_slots,), np.int32)
@@ -388,8 +396,10 @@ class PagedEngine:
             logits, new_kp, new_vp = paged_forward(
                 params, kp, vp, tables, lengths, tokens
             )
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return nxt, new_kp, new_vp
+            row = logits.astype(jnp.float32)
+            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+            lp = jax.nn.log_softmax(row)[jnp.arange(row.shape[0]), nxt]
+            return nxt, lp, new_kp, new_vp
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def decode_step(params, kp, vp, tables, lengths, tokens,
@@ -400,8 +410,10 @@ class PagedEngine:
             keys = jax.vmap(
                 lambda s, c: jax.random.fold_in(jax.random.fold_in(key, s), c)
             )(seeds, gen_counts)
-            nxt = _sample_slots(keys, logits, temp, top_k, top_p)
-            return nxt, new_kp, new_vp
+            row = logits.astype(jnp.float32)
+            nxt = _sample_slots(keys, row, temp, top_k, top_p)
+            lp = jax.nn.log_softmax(row)[jnp.arange(row.shape[0]), nxt]
+            return nxt, lp, new_kp, new_vp
 
         self._decode_greedy = decode_step_greedy
         self._decode = decode_step
@@ -661,6 +673,7 @@ class PagedEngine:
             self._slot_req[slot] = rid
             self._budget[rid] = budget
             self._out[rid] = []
+            self._out_lp[rid] = []
             self._temp[slot] = sampling.temperature
             self._top_k[slot] = sampling.top_k
             self._top_p[slot] = sampling.top_p
@@ -694,9 +707,10 @@ class PagedEngine:
                     )
                     c0 += m
                 first = self._sample_first(last_row, sampling)
+                first_lp = _row_logprob(np.asarray(last_row, np.float32), first)
                 self._lengths[slot] = plen
                 self._gen_count[slot] = 1  # next decode draw is generation 1
-                self._record(slot, first)
+                self._record(slot, first, first_lp)
                 continue
 
             # dense prefill of the non-shared suffix into a bucketed
@@ -749,6 +763,7 @@ class PagedEngine:
                         jnp.int32(p0 + full), jnp.int32(rem_r - 1),
                     )
             first = self._sample_first(last_row[0], sampling)
+            first_lp = _row_logprob(np.asarray(last_row[0], np.float32), first)
             nsh = len(shared)
             new_rows = blocks[nsh:self._blocks_needed(plen)]
             self._kp, self._vp = self._scatter_fn(csize, nsh, len(new_rows))(
@@ -757,9 +772,9 @@ class PagedEngine:
             )
             self._lengths[slot] = plen
             self._gen_count[slot] = 1  # next decode draw is generation 1
-            self._record(slot, first)
+            self._record(slot, first, first_lp)
 
-    def _record(self, slot: int, tok: int):
+    def _record(self, slot: int, tok: int, lp: float = None):
         rid = self._slot_req[slot]
         if (
             self.eos_id is not None and tok == self.eos_id
@@ -767,6 +782,8 @@ class PagedEngine:
             self._finish(slot)
             return
         self._out[rid].append(tok)
+        if lp is not None:
+            self._out_lp[rid].append(lp)
         self._last[slot] = tok
         if self.token_callback is not None:
             self.token_callback(rid, tok)
@@ -776,6 +793,7 @@ class PagedEngine:
     def _finish(self, slot: int):
         rid = self._slot_req[slot]
         self._finished[rid] = self._out.pop(rid)
+        self.finished_logprobs[rid] = self._out_lp.pop(rid, [])
         bs = self.block_size
         for row in self._slot_shared[slot]:
             self._refs[row] -= 1
@@ -824,13 +842,13 @@ class PagedEngine:
         if not active:
             return bool(self._queue)
         if all(self._temp[s] <= 0 for s in active):
-            nxt, self._kp, self._vp = self._decode_greedy(
+            nxt, lp, self._kp, self._vp = self._decode_greedy(
                 self.params, self._kp, self._vp,
                 jnp.asarray(self._tables), jnp.asarray(self._lengths),
                 jnp.asarray(self._last[:, None]),
             )
         else:
-            nxt, self._kp, self._vp = self._decode(
+            nxt, lp, self._kp, self._vp = self._decode(
                 self.params, self._kp, self._vp,
                 jnp.asarray(self._tables), jnp.asarray(self._lengths),
                 jnp.asarray(self._last[:, None]),
@@ -839,10 +857,11 @@ class PagedEngine:
                 jnp.asarray(self._top_p), jnp.asarray(self._seeds),
             )
         nxt = np.asarray(nxt)
+        lp = np.asarray(lp)
         for s in active:
             self._lengths[s] += 1
             self._gen_count[s] += 1
-            self._record(s, int(nxt[s]))
+            self._record(s, int(nxt[s]), float(lp[s]))
         return True
 
     def run(self) -> dict[int, list]:

@@ -52,6 +52,7 @@ class ServingLoop:
         self.model_id = model_id
         self._lock = threading.Lock()
         self._results: dict[int, Any] = {}
+        self._logprobs: dict[int, list] = {}
         self._events: dict[int, threading.Event] = {}
         self._streams: dict[int, queue.Queue] = {}
         engine.token_callback = self._on_token
@@ -90,6 +91,12 @@ class ServingLoop:
             self._events.pop(rid, None)
             return self._results.pop(rid)
 
+    def logprobs(self, rid: int) -> list:
+        """Per-token log p under the raw model distribution (parallel to
+        the result of wait); call after wait(rid)."""
+        with self._lock:
+            return self._logprobs.pop(rid, [])
+
     def stream_tokens(self, rid: int, timeout: float = 300.0):
         """Yield tokens for ``rid`` as they are generated (stream=True
         submissions only); terminates when the request finishes."""
@@ -118,8 +125,10 @@ class ServingLoop:
                 busy = self.engine.step()
                 done = self.engine._finished
                 if done:
+                    lps = getattr(self.engine, "finished_logprobs", {})
                     for rid, toks in list(done.items()):
                         self._results[rid] = toks
+                        self._logprobs[rid] = lps.pop(rid, [])
                         q = self._streams.get(rid)
                         if q is not None:
                             q.put(None)  # end-of-stream sentinel
@@ -248,6 +257,7 @@ def make_handler(loop: ServingLoop):
                 try:
                     rid = loop.submit(prompt, max_tokens, sampling)
                     toks = loop.wait(rid)
+                    want_lp = bool(req.get("logprobs"))
                     if chat:
                         out = {
                             "id": f"chatcmpl-{rid}",
@@ -281,6 +291,22 @@ def make_handler(loop: ServingLoop):
                         "completion_tokens": len(toks),
                         "total_tokens": len(prompt) + len(toks),
                     }
+                    if want_lp:
+                        lp = loop.logprobs(rid)
+                        piece = (
+                            out["choices"][0].get("message")
+                            or out["choices"][0]
+                        )
+                        piece["logprobs"] = {
+                            "tokens": [
+                                loop.tokenizer.decode([t])
+                                if loop.tokenizer is not None else str(t)
+                                for t in toks
+                            ],
+                            "token_logprobs": lp,
+                            "top_logprobs": None,
+                            "text_offset": [],
+                        }
                     self._send(200, out)
                 except Exception as e:  # noqa: BLE001
                     self._send(400, {"error": str(e)})

@@ -280,3 +280,29 @@ def test_stop_token_ids_truncate(tiny_q):
     out = eng.run()
     assert out[r1] == full1[:full1.index(stop)]
     assert out[r2] == full2
+
+
+def test_logprobs_recorded(tiny_q):
+    """Per-token logprobs (OpenAI/vLLM "logprobs"): recorded parallel to
+    the output, finite and <= 0, deterministic across runs, and identical
+    between greedy and sampled-with-top_k=1 (same tokens, same raw-model
+    log-softmax values)."""
+    config, qparams = tiny_q
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(
+            params=qparams, config=config, num_slots=1, max_len=32
+        )
+        rid = eng.submit([3, 17, 42, 9], max_new_tokens=6, **kw)
+        out = eng.run()[rid]
+        return out, eng.finished_logprobs[rid]
+
+    toks1, lp1 = run()
+    toks2, lp2 = run()
+    assert toks1 == toks2 and lp1 == lp2
+    assert len(lp1) == len(toks1) == 6
+    assert all(np.isfinite(v) and v <= 0.0 for v in lp1)
+
+    toks3, lp3 = run(temperature=0.5, top_k=1)
+    assert toks3 == toks1
+    np.testing.assert_allclose(lp3, lp1, rtol=2e-3, atol=2e-4)

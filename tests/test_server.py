@@ -242,9 +242,11 @@ def test_openai_schema(server):
     _, legacy = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4})
 
     code, out = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4,
-                               "model": "tiny"})
+                               "model": "tiny", "logprobs": True})
     assert code == 200
     assert out["object"] == "text_completion"
+    lps = out["choices"][0]["logprobs"]["token_logprobs"]
+    assert len(lps) == 4 and all(v <= 0.0 for v in lps)
     assert out["model"] == "tiny"
     choice = out["choices"][0]
     assert choice["token_ids"] == legacy["tokens"]
