@@ -79,6 +79,26 @@ def _sample_row(key, logits, temperature, top_k, top_p):
 _sample_slots = jax.vmap(_sample_row)
 
 
+def _apply_penalties_row(logits, pcounts, ocounts, pres, freq, rep):
+    """vLLM-order per-request penalties on one [V] logits row, BEFORE the
+    temperature/top-k/top-p warp: repetition_penalty divides positive /
+    multiplies negative logits of tokens seen in prompt+output;
+    presence_penalty subtracts once per seen output token;
+    frequency_penalty subtracts per output occurrence. Defaults
+    (rep=1, pres=0, freq=0) are an exact identity — one compiled decode
+    step serves penalized and plain requests alike."""
+    seen_any = (pcounts + ocounts) > 0
+    r = jnp.where(rep > 0, rep, 1.0)
+    lg = jnp.where(
+        seen_any, jnp.where(logits > 0, logits / r, logits * r), logits
+    )
+    oc = ocounts.astype(lg.dtype)
+    return lg - freq * oc - pres * (ocounts > 0).astype(lg.dtype)
+
+
+_apply_penalties = jax.vmap(_apply_penalties_row)
+
+
 @dataclasses.dataclass
 class SamplingParams:
     """Per-request sampling controls (greedy by default).
@@ -93,9 +113,22 @@ class SamplingParams:
     top_p: float = 1.0
     seed: int = 0
     stop_token_ids: tuple = ()
+    # vLLM-parity penalties (defaults are exact no-ops): repetition over
+    # prompt+output tokens; presence/frequency over output tokens only
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
 
     def __post_init__(self):
         self.stop_token_ids = tuple(self.stop_token_ids)
+
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            self.repetition_penalty != 1.0
+            or self.presence_penalty != 0.0
+            or self.frequency_penalty != 0.0
+        )
 
 
 @dataclasses.dataclass
@@ -166,9 +199,10 @@ class ContinuousBatchingEngine:
 
         import functools
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
+        @functools.partial(jax.jit, donate_argnums=(2, 11))
         def decode_step(params, tokens, cache, pos_vec, key, gen_counts,
-                        temp, top_k, top_p, seeds):
+                        temp, top_k, top_p, seeds, pcounts, ocounts,
+                        pres, freq, rep):
             logits, cache = fwd(params, config, tokens, cache, pos_vec)
             # randomness keyed on (request seed, tokens generated so far) —
             # never on the global engine step — so a request's sampled
@@ -178,19 +212,26 @@ class ContinuousBatchingEngine:
                 lambda s, c: jax.random.fold_in(jax.random.fold_in(key, s), c)
             )(seeds, gen_counts)
             row = logits[:, -1].astype(jnp.float32)
-            nxt = _sample_slots(keys, row, temp, top_k, top_p)
+            pen = _apply_penalties(row, pcounts, ocounts, pres, freq, rep)
+            nxt = _sample_slots(keys, pen, temp, top_k, top_p)
+            # logprob is of the RAW model distribution (pre-penalty/warp)
             lp = jax.nn.log_softmax(row)[jnp.arange(row.shape[0]), nxt]
-            return nxt, lp, cache
+            ocounts = ocounts.at[jnp.arange(row.shape[0]), nxt].add(1)
+            return nxt, lp, cache, ocounts
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_step_greedy(params, tokens, cache, pos_vec):
+        @functools.partial(jax.jit, donate_argnums=(2, 5))
+        def decode_step_greedy(params, tokens, cache, pos_vec,
+                               pcounts, ocounts, pres, freq, rep):
             # fast path when every active slot is greedy: skips the per-slot
-            # [V] sorts of the sampling program
+            # [V] sorts of the sampling program (penalties still apply —
+            # identity at default params)
             logits, cache = fwd(params, config, tokens, cache, pos_vec)
             row = logits[:, -1].astype(jnp.float32)
-            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+            pen = _apply_penalties(row, pcounts, ocounts, pres, freq, rep)
+            nxt = jnp.argmax(pen, axis=-1).astype(jnp.int32)
             lp = jax.nn.log_softmax(row)[jnp.arange(row.shape[0]), nxt]
-            return nxt, lp, cache
+            ocounts = ocounts.at[jnp.arange(row.shape[0]), nxt].add(1)
+            return nxt, lp, cache, ocounts
 
         self._decode = decode_step
         self._decode_greedy = decode_step_greedy
@@ -205,6 +246,25 @@ class ContinuousBatchingEngine:
         self._top_k = np.zeros((self.num_slots,), np.int32)
         self._top_p = np.ones((self.num_slots,), np.float32)
         self._seeds = np.zeros((self.num_slots,), np.int32)
+        self._pres = np.zeros((self.num_slots,), np.float32)
+        self._freq = np.zeros((self.num_slots,), np.float32)
+        self._rep = np.ones((self.num_slots,), np.float32)
+        v = config.vocab_size
+        self._pcounts = jnp.zeros((self.num_slots, v), jnp.int32)
+        self._ocounts = jnp.zeros((self.num_slots, v), jnp.int32)
+        # device-resident zero row: non-penalized admissions clear their
+        # count rows without uploading a [V] array through the tunnel
+        self._zero_bins = jnp.zeros((v,), jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def counts_clear(pc, oc, slot, pbins, first):
+            pc = pc.at[slot].set(pbins)
+            oc = oc.at[slot].set(
+                jnp.zeros((v,), jnp.int32).at[first].set(1)
+            )
+            return pc, oc
+
+        self._counts_clear = counts_clear
         self._cache = self.init_cache(config, self.num_slots, self.max_len)
         if self.mesh is not None:
             # place the slot cache on the mesh up front (heads over tp) so
@@ -283,21 +343,30 @@ class ContinuousBatchingEngine:
         self._prefills[ck] = run_chunk
         return run_chunk
 
-    def _sample_first(self, logits_row, sampling: SamplingParams) -> int:
+    def _sample_first(self, logits_row, sampling, raw_row=None):
+        """Sample the first post-prefill token from ``logits_row`` (possibly
+        penalty-adjusted) and compute its logprob under ``raw_row`` (the
+        unadjusted model row; defaults to logits_row) — one device dispatch,
+        no [V] host transfer on the hot path."""
         if "sample1" not in self._prefills:
-            self._prefills["sample1"] = jax.jit(_sample_row)
+            def _s1(key, row, raw, temp, top_k, top_p):
+                tok = _sample_row(key, row, temp, top_k, top_p)
+                lp = jax.nn.log_softmax(raw.astype(jnp.float32))[tok]
+                return tok, lp
+
+            self._prefills["sample1"] = jax.jit(_s1)
         # the prompt's first sampled token is generation index 0
         key = jax.random.fold_in(
             jax.random.fold_in(self._key, sampling.seed), 0
         )
-        return int(
-            self._prefills["sample1"](
-                key, logits_row,
-                jnp.float32(sampling.temperature),
-                jnp.int32(sampling.top_k),
-                jnp.float32(sampling.top_p),
-            )
+        tok, lp = self._prefills["sample1"](
+            key, logits_row,
+            logits_row if raw_row is None else raw_row,
+            jnp.float32(sampling.temperature),
+            jnp.int32(sampling.top_k),
+            jnp.float32(sampling.top_p),
         )
+        return int(tok), float(lp)
 
     # -- prefix cache ------------------------------------------------------
 
@@ -442,10 +511,29 @@ class ContinuousBatchingEngine:
                         block.astype(self._cache[key][li].dtype),
                         (slot, 0, 0, 0),
                     )
-            tok = self._sample_first(last_logits, req.sampling)
-            row = np.asarray(last_logits, np.float32)
-            m = float(row.max())
-            first_lp = float(row[tok]) - (m + float(np.log(np.exp(row - m).sum())))
+            raw_row = last_logits
+            if req.sampling.has_penalties:
+                pbins = np.zeros((self.config.vocab_size,), np.int32)
+                np.add.at(pbins, np.asarray(req.prompt, np.int64), 1)
+                # repetition penalty applies to the first draw too
+                # (output counts are still empty)
+                r = req.sampling.repetition_penalty or 1.0
+                lrow = np.asarray(last_logits, np.float32).copy()
+                seen = pbins > 0
+                lrow[seen] = np.where(
+                    lrow[seen] > 0, lrow[seen] / r, lrow[seen] * r
+                )
+                last_logits = jnp.asarray(lrow)
+                pbins_dev = jnp.asarray(pbins)
+            else:
+                pbins_dev = self._zero_bins
+            tok, first_lp = self._sample_first(
+                last_logits, req.sampling, raw_row
+            )
+            self._pcounts, self._ocounts = self._counts_clear(
+                self._pcounts, self._ocounts, jnp.int32(slot),
+                pbins_dev, jnp.int32(tok),
+            )
             self._slots[slot] = req
             self._pos[slot] = plen
             self._last_tok[slot] = tok
@@ -455,6 +543,9 @@ class ContinuousBatchingEngine:
             self._top_k[slot] = s.top_k
             self._top_p[slot] = s.top_p
             self._seeds[slot] = s.seed
+            self._pres[slot] = s.presence_penalty
+            self._freq[slot] = s.frequency_penalty
+            self._rep[slot] = s.repetition_penalty
             self._record(slot, tok, first_lp)
 
     # -- stepping ----------------------------------------------------------
@@ -493,16 +584,21 @@ class ContinuousBatchingEngine:
             return bool(self._queue)
         tokens = jnp.asarray(self._last_tok[:, None])
         pos_vec = jnp.asarray(self._pos)
+        pen_args = (
+            self._pcounts, self._ocounts, jnp.asarray(self._pres),
+            jnp.asarray(self._freq), jnp.asarray(self._rep),
+        )
         if all(self._temp[i] <= 0 for i in active):
-            nxt, lp, self._cache = self._decode_greedy(
-                self.params, tokens, self._cache, pos_vec
+            nxt, lp, self._cache, self._ocounts = self._decode_greedy(
+                self.params, tokens, self._cache, pos_vec, *pen_args
             )
         else:
-            nxt, lp, self._cache = self._decode(
+            nxt, lp, self._cache, self._ocounts = self._decode(
                 self.params, tokens, self._cache, pos_vec,
                 self._key, jnp.asarray(self._gen_count),
                 jnp.asarray(self._temp), jnp.asarray(self._top_k),
                 jnp.asarray(self._top_p), jnp.asarray(self._seeds),
+                *pen_args,
             )
         nxt_np = np.asarray(nxt)
         lp_np = np.asarray(lp)

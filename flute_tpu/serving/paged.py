@@ -49,15 +49,29 @@ from flute_tpu.models.llama import (
 from flute_tpu.ops.paged_attention import paged_decode_attention
 from flute_tpu.serving.continuous import (
     SamplingParams,
+    _apply_penalties,
     _sample_row,
     _sample_slots,
 )
 
 
-def _row_logprob(row: np.ndarray, tok: int) -> float:
-    """log-softmax of one f32 logits row at ``tok`` (host side)."""
-    m = float(row.max())
-    return float(row[tok]) - (m + float(np.log(np.exp(row - m).sum())))
+def _first_token_row(row: np.ndarray, prompt, sampling, vocab: int):
+    """Host-side prep for the first draw after prefill: prompt bincount
+    plus the repetition penalty over prompt tokens — presence/frequency
+    act on output tokens, of which there are none yet. Returns (row for
+    sampling, raw row for the logprob, pbins or None when unpenalized —
+    callers then pass the device-resident zero row, avoiding a [V]
+    upload per admission)."""
+    if not sampling.has_penalties:
+        return row, row, None
+    pbins = np.zeros((vocab,), np.int32)
+    np.add.at(pbins, np.asarray(prompt, np.int64), 1)
+    r = sampling.repetition_penalty or 1.0
+    raw = row
+    row = row.copy()
+    seen = pbins > 0
+    row[seen] = np.where(row[seen] > 0, row[seen] / r, row[seen] * r)
+    return row, raw, pbins
 
 
 @dataclasses.dataclass
@@ -105,6 +119,10 @@ class PagedEngine:
     # chunks (bounded per-admission latency; same contract as
     # ContinuousBatchingEngine.prefill_chunk). None = one bucketed call.
     prefill_chunk: Optional[int] = None
+    # Engines that track per-token output counts support the vLLM-parity
+    # penalties (repetition/presence/frequency); the speculative subclass
+    # overrides this to False (its verify path does not maintain counts)
+    supports_penalties = True
     # Pool-backed prefill (vLLM's unified path): prompt chunks are written
     # STRAIGHT into pool blocks and attend through the fused multi-query
     # paged kernel — no dense scratch cache, no splice/scatter dispatches,
@@ -176,6 +194,25 @@ class PagedEngine:
         self._top_p = np.ones((self.num_slots,), np.float32)
         self._seeds = np.zeros((self.num_slots,), np.int32)
         self._stop: list[frozenset] = [frozenset()] * self.num_slots
+        self._pres = np.zeros((self.num_slots,), np.float32)
+        self._freq = np.zeros((self.num_slots,), np.float32)
+        self._rep = np.ones((self.num_slots,), np.float32)
+        v = cfg.vocab_size
+        self._pcounts = jnp.zeros((self.num_slots, v), jnp.int32)
+        self._ocounts = jnp.zeros((self.num_slots, v), jnp.int32)
+        # device-resident zero row: non-penalized admissions clear their
+        # count rows without uploading a [V] array through the tunnel
+        self._zero_bins = jnp.zeros((v,), jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def counts_clear(pc, oc, slot, pbins, first):
+            pc = pc.at[slot].set(pbins)
+            oc = oc.at[slot].set(
+                jnp.zeros((v,), jnp.int32).at[first].set(1)
+            )
+            return pc, oc
+
+        self._counts_clear = counts_clear
         self._gen_count = np.zeros((self.num_slots,), np.int32)
         self._key = jax.random.PRNGKey(0)
         self._queue: list = []
@@ -391,19 +428,23 @@ class PagedEngine:
                     params, kp, vp, tables, lengths, tokens, axis_name="tp"
                 )
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def decode_step_greedy(params, kp, vp, tables, lengths, tokens):
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 7))
+        def decode_step_greedy(params, kp, vp, tables, lengths, tokens,
+                               pcounts, ocounts, pres, freq, rep):
             logits, new_kp, new_vp = paged_forward(
                 params, kp, vp, tables, lengths, tokens
             )
             row = logits.astype(jnp.float32)
-            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+            pen = _apply_penalties(row, pcounts, ocounts, pres, freq, rep)
+            nxt = jnp.argmax(pen, axis=-1).astype(jnp.int32)
             lp = jax.nn.log_softmax(row)[jnp.arange(row.shape[0]), nxt]
-            return nxt, lp, new_kp, new_vp
+            ocounts = ocounts.at[jnp.arange(row.shape[0]), nxt].add(1)
+            return nxt, lp, new_kp, new_vp, ocounts
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 13))
         def decode_step(params, kp, vp, tables, lengths, tokens,
-                        key, gen_counts, temp, top_k, top_p, seeds):
+                        key, gen_counts, temp, top_k, top_p, seeds,
+                        pcounts, ocounts, pres, freq, rep):
             logits, new_kp, new_vp = paged_forward(
                 params, kp, vp, tables, lengths, tokens
             )
@@ -411,9 +452,12 @@ class PagedEngine:
                 lambda s, c: jax.random.fold_in(jax.random.fold_in(key, s), c)
             )(seeds, gen_counts)
             row = logits.astype(jnp.float32)
-            nxt = _sample_slots(keys, row, temp, top_k, top_p)
+            pen = _apply_penalties(row, pcounts, ocounts, pres, freq, rep)
+            nxt = _sample_slots(keys, pen, temp, top_k, top_p)
+            # logprob of the RAW model distribution (pre-penalty/warp)
             lp = jax.nn.log_softmax(row)[jnp.arange(row.shape[0]), nxt]
-            return nxt, lp, new_kp, new_vp
+            ocounts = ocounts.at[jnp.arange(row.shape[0]), nxt].add(1)
+            return nxt, lp, new_kp, new_vp, ocounts
 
         self._decode_greedy = decode_step_greedy
         self._decode = decode_step
@@ -549,20 +593,30 @@ class PagedEngine:
             self._prefills[key] = scatter
         return self._prefills[key]
 
-    def _sample_first(self, logits_row, sampling: SamplingParams) -> int:
+    def _sample_first(self, logits_row, sampling, raw_row=None):
+        """Sample the first post-prefill token from ``logits_row`` (possibly
+        penalty-adjusted) and compute its logprob under ``raw_row`` (the
+        unadjusted model row; defaults to logits_row) — one device dispatch,
+        no [V] host transfer on the hot path."""
         if "sample1" not in self._prefills:
-            self._prefills["sample1"] = jax.jit(_sample_row)
+            def _s1(key, row, raw, temp, top_k, top_p):
+                tok = _sample_row(key, row, temp, top_k, top_p)
+                lp = jax.nn.log_softmax(raw.astype(jnp.float32))[tok]
+                return tok, lp
+
+            self._prefills["sample1"] = jax.jit(_s1)
+        # the prompt's first sampled token is generation index 0
         key = jax.random.fold_in(
             jax.random.fold_in(self._key, sampling.seed), 0
         )
-        return int(
-            self._prefills["sample1"](
-                key, logits_row,
-                jnp.float32(sampling.temperature),
-                jnp.int32(sampling.top_k),
-                jnp.float32(sampling.top_p),
-            )
+        tok, lp = self._prefills["sample1"](
+            key, logits_row,
+            logits_row if raw_row is None else raw_row,
+            jnp.float32(sampling.temperature),
+            jnp.int32(sampling.top_k),
+            jnp.float32(sampling.top_p),
         )
+        return int(tok), float(lp)
 
     # -- admission / bookkeeping ------------------------------------------
 
@@ -589,6 +643,12 @@ class PagedEngine:
             sampling = SamplingParams(**sampling_kw)
         elif sampling_kw:
             raise ValueError("pass either sampling= or keyword params, not both")
+        if sampling.has_penalties and not self.supports_penalties:
+            raise ValueError(
+                "repetition/presence/frequency penalties are not supported "
+                "by this engine (speculative verify does not track output "
+                "counts); use PagedEngine or ContinuousBatchingEngine"
+            )
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append((rid, list(prompt), max_new_tokens, sampling))
@@ -679,6 +739,9 @@ class PagedEngine:
             self._top_p[slot] = sampling.top_p
             self._seeds[slot] = sampling.seed
             self._stop[slot] = frozenset(sampling.stop_token_ids)
+            self._pres[slot] = sampling.presence_penalty
+            self._freq[slot] = sampling.frequency_penalty
+            self._rep[slot] = sampling.repetition_penalty
 
             p0 = len(shared) * bs
             rem = plen - p0
@@ -706,8 +769,22 @@ class PagedEngine:
                         rend, jnp.int32(m - 1),
                     )
                     c0 += m
-                first = self._sample_first(last_row, sampling)
-                first_lp = _row_logprob(np.asarray(last_row, np.float32), first)
+                if sampling.has_penalties:
+                    srow, _, pbins = _first_token_row(
+                        np.asarray(last_row, np.float32), prompt, sampling,
+                        self.config.vocab_size,
+                    )
+                    srow_dev = jnp.asarray(srow)
+                else:
+                    pbins, srow_dev = None, last_row
+                first, first_lp = self._sample_first(
+                    srow_dev, sampling, last_row
+                )
+                self._pcounts, self._ocounts = self._counts_clear(
+                    self._pcounts, self._ocounts, jnp.int32(slot),
+                    self._zero_bins if pbins is None else jnp.asarray(pbins),
+                    jnp.int32(first),
+                )
                 self._lengths[slot] = plen
                 self._gen_count[slot] = 1  # next decode draw is generation 1
                 self._record(slot, first, first_lp)
@@ -762,8 +839,22 @@ class PagedEngine:
                         self.params, jnp.asarray(rtoks), scratch,
                         jnp.int32(p0 + full), jnp.int32(rem_r - 1),
                     )
-            first = self._sample_first(last_row[0], sampling)
-            first_lp = _row_logprob(np.asarray(last_row[0], np.float32), first)
+            if sampling.has_penalties:
+                srow, _, pbins = _first_token_row(
+                    np.asarray(last_row[0], np.float32), prompt, sampling,
+                    self.config.vocab_size,
+                )
+                srow_dev = jnp.asarray(srow)
+            else:
+                pbins, srow_dev = None, last_row[0]
+            first, first_lp = self._sample_first(
+                srow_dev, sampling, last_row[0]
+            )
+            self._pcounts, self._ocounts = self._counts_clear(
+                self._pcounts, self._ocounts, jnp.int32(slot),
+                self._zero_bins if pbins is None else jnp.asarray(pbins),
+                jnp.int32(first),
+            )
             nsh = len(shared)
             new_rows = blocks[nsh:self._blocks_needed(plen)]
             self._kp, self._vp = self._scatter_fn(csize, nsh, len(new_rows))(
@@ -841,20 +932,25 @@ class PagedEngine:
         active = [s for s in range(self.num_slots) if self._slot_req[s] is not None]
         if not active:
             return bool(self._queue)
+        pen_args = (
+            self._pcounts, self._ocounts, jnp.asarray(self._pres),
+            jnp.asarray(self._freq), jnp.asarray(self._rep),
+        )
         if all(self._temp[s] <= 0 for s in active):
-            nxt, lp, self._kp, self._vp = self._decode_greedy(
+            nxt, lp, self._kp, self._vp, self._ocounts = self._decode_greedy(
                 self.params, self._kp, self._vp,
                 jnp.asarray(self._tables), jnp.asarray(self._lengths),
-                jnp.asarray(self._last[:, None]),
+                jnp.asarray(self._last[:, None]), *pen_args,
             )
         else:
-            nxt, lp, self._kp, self._vp = self._decode(
+            nxt, lp, self._kp, self._vp, self._ocounts = self._decode(
                 self.params, self._kp, self._vp,
                 jnp.asarray(self._tables), jnp.asarray(self._lengths),
                 jnp.asarray(self._last[:, None]),
                 self._key, jnp.asarray(self._gen_count),
                 jnp.asarray(self._temp), jnp.asarray(self._top_k),
                 jnp.asarray(self._top_p), jnp.asarray(self._seeds),
+                *pen_args,
             )
         nxt = np.asarray(nxt)
         lp = np.asarray(lp)

@@ -79,6 +79,7 @@ class PagedSpeculativeEngine(PagedEngine):
     draft_params: Any = None
     draft_config: Any = None
     k: int = 4
+    supports_penalties = False  # verify rounds do not track output counts
 
     def __post_init__(self):
         if self.draft_params is None or self.draft_config is None:

@@ -153,6 +153,9 @@ def _parse_sampling(req: dict) -> SamplingParams:
         stop_token_ids=tuple(
             int(t) for t in req.get("stop_token_ids", ())
         ),
+        repetition_penalty=float(req.get("repetition_penalty", 1.0)),
+        presence_penalty=float(req.get("presence_penalty", 0.0)),
+        frequency_penalty=float(req.get("frequency_penalty", 0.0)),
     )
 
 

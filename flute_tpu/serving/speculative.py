@@ -258,7 +258,18 @@ class SpeculativeEngine:
         """Generate greedily (``sampling=None``) or by speculative
         sampling: pass one SamplingParams for the whole batch or one per
         prompt. The sampled stream is distributed exactly as target-model
-        sampling and is deterministic per request seed."""
+        sampling and is deterministic per request seed. Repetition/
+        presence/frequency penalties are not supported here (the verify
+        path does not track output counts)."""
+        if sampling is not None:
+            _slist = (
+                sampling if isinstance(sampling, (list, tuple)) else [sampling]
+            )
+            if any(s.has_penalties for s in _slist):
+                raise ValueError(
+                    "penalties are not supported by speculative decoding; "
+                    "use PagedEngine or ContinuousBatchingEngine"
+                )
         b = self.batch_size
         if len(prompts) > b:
             raise ValueError(f"{len(prompts)} prompts > batch_size {b}")

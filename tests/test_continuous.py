@@ -306,3 +306,34 @@ def test_logprobs_recorded(tiny_q):
     toks3, lp3 = run(temperature=0.5, top_k=1)
     assert toks3 == toks1
     np.testing.assert_allclose(lp3, lp1, rtol=2e-3, atol=2e-4)
+
+
+def test_penalties(tiny_q):
+    """vLLM-parity penalties: defaults are an exact no-op (identical
+    stream and logprobs), repetition_penalty eliminates the tiny model's
+    repetition loops (and applies to the first post-prefill draw), and
+    presence_penalty alone also breaks the loop. Deterministic per run."""
+    config, qparams = tiny_q
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(
+            params=qparams, config=config, num_slots=2, max_len=32
+        )
+        r1 = eng.submit([3, 17, 42, 9], max_new_tokens=8, **kw)
+        r2 = eng.submit([11, 5], max_new_tokens=8, **kw)
+        out = eng.run()
+        return [out[r1], out[r2]]
+
+    base = run()
+    # the tiny model loops on this prompt — the penalty must have work to do
+    assert any(base[1][i] == base[1][i + 1] for i in range(7))
+    assert run() == base  # defaults reproduce exactly (identity penalty)
+
+    pen = run(repetition_penalty=1.8)
+    assert pen != base
+    assert all(pen[1][i] != pen[1][i + 1] for i in range(7)), pen[1]
+    assert run(repetition_penalty=1.8) == pen  # deterministic
+
+    pres = run(presence_penalty=4.0)
+    assert pres[1] != base[1]
+    assert all(pres[1][i] != pres[1][i + 1] for i in range(7)), pres[1]
