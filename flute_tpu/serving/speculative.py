@@ -326,14 +326,26 @@ class SpeculativeEngine:
         out = [list() for _ in range(b)]
         done = np.zeros((b,), bool)
         done[len(prompts):] = True
+        # per-slot stop sets (SamplingParams.stop_token_ids; eos_id is the
+        # engine-wide equivalent)
+        if sampling is None:
+            stops = [frozenset()] * b
+        else:
+            slist = (
+                list(sampling) if isinstance(sampling, (list, tuple))
+                else [sampling] * len(prompts)
+            )
+            stops = [frozenset(s.stop_token_ids) for s in slist]
+            stops += [frozenset()] * (b - len(stops))
         # last emitted (not yet consumed) token per slot, and the cache
         # slot it will be written to on the next forward of each model
         last = np.asarray(first).copy()  # [B]
         for i in range(len(prompts)):
-            if eos_id is not None and int(last[i]) == eos_id:
+            t0 = int(last[i])
+            if (eos_id is not None and t0 == eos_id) or t0 in stops[i]:
                 done[i] = True
             elif not done[i]:
-                out[i].append(int(last[i]))
+                out[i].append(t0)
         t_pos = np.full((b,), plen, np.int32)
         d_pos = np.full((b,), plen, np.int32)
         # straggler the draft hasn't consumed yet (bonus rounds leave one);
@@ -442,7 +454,7 @@ class SpeculativeEngine:
                     if len(out[i]) >= max_new_tokens:
                         done[i] = True
                         break
-                    if eos_id is not None and t == eos_id:
+                    if (eos_id is not None and t == eos_id) or t in stops[i]:
                         done[i] = True
                         break
                     out[i].append(int(t))

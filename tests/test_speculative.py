@@ -269,3 +269,32 @@ def test_spec_sampled_topk1_matches_greedy(tiny_pair):
         sampling=SamplingParams(temperature=1.0, top_k=1, seed=3),
     )
     assert got == want
+
+
+@pytest.mark.slow
+def test_stop_token_ids_speculative(tiny_pair):
+    """SamplingParams.stop_token_ids through the dense speculative engine
+    (sampled mode): truncates exactly where the plain sampled stream
+    first produces the stop token."""
+    from flute_tpu.serving.continuous import SamplingParams
+
+    config, target, _ = tiny_pair
+    prompts = [[3, 17, 42, 9]]
+    n = 12
+    sp = SamplingParams(temperature=0.9, top_k=40, seed=123)
+    eng = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=target, draft_config=config,
+        k=3, max_len=96, batch_size=1,
+    )
+    full = eng.generate(prompts, max_new_tokens=n, sampling=sp)[0]
+    stop = full[4]
+    sp2 = SamplingParams(temperature=0.9, top_k=40, seed=123,
+                         stop_token_ids=(stop,))
+    eng2 = SpeculativeEngine(
+        target_params=target, target_config=config,
+        draft_params=target, draft_config=config,
+        k=3, max_len=96, batch_size=1,
+    )
+    got = eng2.generate(prompts, max_new_tokens=n, sampling=sp2)[0]
+    assert got == full[:full.index(stop)]
