@@ -51,6 +51,10 @@ class ServingLoop:
         self.tokenizer = tokenizer
         self.model_id = model_id
         self._lock = threading.Lock()
+        self._started = time.time()
+        self.requests_total = 0
+        self.completed_total = 0
+        self.tokens_total = 0
         self._results: dict[int, Any] = {}
         self._logprobs: dict[int, list] = {}
         self._events: dict[int, threading.Event] = {}
@@ -74,6 +78,7 @@ class ServingLoop:
         stream: bool = False,
     ) -> int:
         with self._lock:
+            self.requests_total += 1
             rid = self.engine.submit(
                 prompt_ids, max_new_tokens=max_tokens,
                 sampling=sampling or SamplingParams(),
@@ -127,6 +132,8 @@ class ServingLoop:
                 if done:
                     lps = getattr(self.engine, "finished_logprobs", {})
                     for rid, toks in list(done.items()):
+                        self.completed_total += 1
+                        self.tokens_total += len(toks)
                         self._results[rid] = toks
                         self._logprobs[rid] = lps.pop(rid, [])
                         q = self._streams.get(rid)
@@ -138,6 +145,44 @@ class ServingLoop:
                     self.engine._finished = {}
             if not busy:
                 time.sleep(0.005)
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of serving counters + live engine
+        gauges (the observability surface vLLM exposes at /metrics)."""
+        eng = self.engine
+        lines = [
+            "# TYPE flute_requests_total counter",
+            f"flute_requests_total {self.requests_total}",
+            "# TYPE flute_completed_total counter",
+            f"flute_completed_total {self.completed_total}",
+            "# TYPE flute_tokens_generated_total counter",
+            f"flute_tokens_generated_total {self.tokens_total}",
+            "# TYPE flute_uptime_seconds gauge",
+            f"flute_uptime_seconds {time.time() - self._started:.1f}",
+        ]
+        q = getattr(eng, "_queue", None)
+        if q is not None:
+            lines += ["# TYPE flute_queue_depth gauge",
+                      f"flute_queue_depth {len(q)}"]
+        for name, attr in (
+            ("flute_paged_blocks_in_use", "blocks_in_use"),
+            ("flute_prefix_hits_total", "prefix_hits"),
+            ("flute_prefix_block_hits_total", "prefix_block_hits"),
+        ):
+            val = getattr(eng, attr, None)
+            if val is not None:
+                lines += [f"# TYPE {name} gauge", f"{name} {val}"]
+        stats = getattr(eng, "stats", None)
+        if stats is not None and hasattr(stats, "acceptance_rate"):
+            lines += [
+                "# TYPE flute_spec_rounds_total counter",
+                f"flute_spec_rounds_total {stats.rounds}",
+                "# TYPE flute_spec_acceptance_rate gauge",
+                f"flute_spec_acceptance_rate {stats.acceptance_rate:.4f}",
+                "# TYPE flute_spec_bonus_total counter",
+                f"flute_spec_bonus_total {stats.bonus}",
+            ]
+        return "\n".join(lines) + "\n"
 
     def shutdown(self):
         self._stop = True
@@ -198,6 +243,13 @@ def make_handler(loop: ServingLoop):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                body = loop.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/v1/models":
                 self._send(200, {
                     "object": "list",

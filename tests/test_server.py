@@ -352,3 +352,24 @@ def test_chat_completions():
     finally:
         srv.shutdown()
         srv.loop.shutdown()
+
+
+def test_metrics_endpoint(server):
+    """/metrics exposes Prometheus-format serving counters that advance
+    with completed requests."""
+    _post(server, {"prompt": [2, 4, 6], "max_tokens": 3})
+    port = server.server_address[1]
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics", timeout=30
+    ) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    vals = {}
+    for ln in text.splitlines():
+        if ln and not ln.startswith("#"):
+            k, v = ln.split()
+            vals[k] = float(v)
+    assert vals["flute_requests_total"] >= 1
+    assert vals["flute_completed_total"] >= 1
+    assert vals["flute_tokens_generated_total"] >= 3
+    assert vals["flute_uptime_seconds"] > 0
