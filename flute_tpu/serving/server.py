@@ -297,6 +297,11 @@ def make_handler(loop: ServingLoop):
                 max_tokens = int(req.get("max_tokens", 64))
                 sampling = _parse_sampling(req)
                 stream = bool(req.get("stream", False))
+                n = int(req.get("n", 1))
+                if n < 1:
+                    raise ValueError("n must be >= 1")
+                if n > 1 and stream:
+                    raise ValueError("n > 1 is not supported with stream")
             except Exception as e:  # noqa: BLE001 — report to client
                 self._send(400, {"error": str(e)})
                 return
@@ -310,8 +315,24 @@ def make_handler(loop: ServingLoop):
 
             if not stream:
                 try:
-                    rid = loop.submit(prompt, max_tokens, sampling)
-                    toks = loop.wait(rid)
+                    if n > 1 and not chat and model is None:
+                        raise ValueError(
+                            "n > 1 requires the OpenAI schema (send a "
+                            "\"model\" field)"
+                        )
+                    # n > 1: fan out as n engine requests with per-choice
+                    # seeds (seed+i) — they batch in the same slot grid
+                    import dataclasses as _dc
+
+                    samplings = [
+                        sampling if i == 0
+                        else _dc.replace(sampling, seed=sampling.seed + i)
+                        for i in range(n)
+                    ]
+                    rids = [loop.submit(prompt, max_tokens, s)
+                            for s in samplings]
+                    all_toks = [loop.wait(r) for r in rids]
+                    rid, toks = rids[0], all_toks[0]
                     want_lp = bool(req.get("logprobs"))
                     if chat:
                         out = {
@@ -341,27 +362,51 @@ def make_handler(loop: ServingLoop):
                             out["text"] = loop.tokenizer.decode(toks)
                         self._send(200, out)
                         return
+                    if n > 1:
+                        tmpl = out["choices"][0]
+                        for i in range(1, n):
+                            c = dict(tmpl)
+                            c["index"] = i
+                            if "message" in c:
+                                c["message"] = {
+                                    "role": "assistant",
+                                    "content": loop.tokenizer.decode(
+                                        all_toks[i]
+                                    ),
+                                }
+                            else:
+                                c["text"] = (
+                                    loop.tokenizer.decode(all_toks[i])
+                                    if loop.tokenizer is not None else ""
+                                )
+                                c["token_ids"] = all_toks[i]
+                            c["finish_reason"] = _finish_reason(
+                                len(all_toks[i]), max_tokens
+                            )
+                            out["choices"].append(c)
+                    total_out = sum(len(t) for t in all_toks)
                     out["usage"] = {
                         "prompt_tokens": len(prompt),
-                        "completion_tokens": len(toks),
-                        "total_tokens": len(prompt) + len(toks),
+                        "completion_tokens": total_out,
+                        "total_tokens": len(prompt) + total_out,
                     }
                     if want_lp:
-                        lp = loop.logprobs(rid)
-                        piece = (
-                            out["choices"][0].get("message")
-                            or out["choices"][0]
-                        )
-                        piece["logprobs"] = {
-                            "tokens": [
-                                loop.tokenizer.decode([t])
-                                if loop.tokenizer is not None else str(t)
-                                for t in toks
-                            ],
-                            "token_logprobs": lp,
-                            "top_logprobs": None,
-                            "text_offset": [],
-                        }
+                        for i, r in enumerate(rids):
+                            lp = loop.logprobs(r)
+                            piece = (
+                                out["choices"][i].get("message")
+                                or out["choices"][i]
+                            )
+                            piece["logprobs"] = {
+                                "tokens": [
+                                    loop.tokenizer.decode([t])
+                                    if loop.tokenizer is not None else str(t)
+                                    for t in all_toks[i]
+                                ],
+                                "token_logprobs": lp,
+                                "top_logprobs": None,
+                                "text_offset": [],
+                            }
                     self._send(200, out)
                 except Exception as e:  # noqa: BLE001
                     self._send(400, {"error": str(e)})

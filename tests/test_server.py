@@ -373,3 +373,28 @@ def test_metrics_endpoint(server):
     assert vals["flute_completed_total"] >= 1
     assert vals["flute_tokens_generated_total"] >= 3
     assert vals["flute_uptime_seconds"] > 0
+
+
+def test_n_completions(server):
+    """OpenAI "n": multiple choices per request — per-choice seeds make
+    sampled choices differ (on some prompt) while each stays
+    deterministic; usage counts all choices."""
+    code, out = _post(server, {
+        "prompt": [2, 6, 10, 14], "max_tokens": 6, "model": "tiny",
+        "n": 3, "temperature": 5.0, "top_p": 0.98, "seed": 11,
+    })
+    assert code == 200 and len(out["choices"]) == 3
+    ids = [c["token_ids"] for c in out["choices"]]
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    assert len(set(map(tuple, ids))) > 1  # seeds differ -> choices differ
+    assert out["usage"]["completion_tokens"] == sum(len(t) for t in ids)
+
+    # choice 0 must equal a single-request run with the same seed
+    code, one = _post(server, {
+        "prompt": [2, 6, 10, 14], "max_tokens": 6, "model": "tiny",
+        "temperature": 5.0, "top_p": 0.98, "seed": 11,
+    })
+    assert one["choices"][0]["token_ids"] == ids[0]
+
+    code, err = _post(server, {"prompt": [1, 2], "max_tokens": 2, "n": 2})
+    assert code == 400  # n > 1 needs the OpenAI schema
