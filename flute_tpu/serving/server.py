@@ -9,10 +9,18 @@ single background device thread stepping the engine (JAX dispatch is not
 thread-safe across requests; the queue is).
 
 Endpoints:
-  POST /v1/completions   {"prompt": [token ids] | "text",
-                          "max_tokens": N,
-                          "temperature": f, "top_k": n, "top_p": f,
-                          "seed": n, "stream": bool}
+  POST /v1/completions        {"prompt": [token ids] | "text",
+                               "max_tokens": N, "temperature": f,
+                               "top_k": n, "top_p": f, "seed": n,
+                               "stop_token_ids": [ids],
+                               "repetition_penalty"/"presence_penalty"/
+                               "frequency_penalty": f, "logprobs": bool,
+                               "n": N, "stream": bool,
+                               "model": str (OpenAI schema)}
+  POST /v1/chat/completions   {"messages": [{role, content}], ...} —
+                              rendered via the tokenizer chat template
+  GET  /v1/models             OpenAI model listing
+  GET  /metrics               Prometheus counters + engine gauges
   GET  /health
 
 With ``"stream": true`` the response is chunked newline-delimited JSON —
