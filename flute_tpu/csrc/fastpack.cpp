@@ -199,4 +199,65 @@ int flute_unpack_w3_wide(const int32_t* words, int32_t* codes, int64_t K,
   return 0;
 }
 
+// Sign-symmetric 4-bit layout (packing.py pack_w4_sym_np): byte pair
+// fields f = m_e | m_o << 3 | s_e << 6 | s_o << 7 for sign-magnitude codes
+// c = s*8 + m, four fields per int32 word in the standard chunked
+// pair-plane arrangement (field i of word j = pair i*kc + j, kc =
+// chunk_pairs / 4). codes [K, N] int32 in [0, 16) -> words [K/8, N] int32.
+int flute_pack_w4_sym(const int32_t* codes, int32_t* words, int64_t K,
+                      int64_t N, int64_t chunk) {
+  if (K % chunk != 0 || (chunk / 2) % 4 != 0) return 1;
+  const int64_t chunk_pairs = chunk / 2;
+  const int64_t kc = chunk_pairs / 4;
+  const int64_t nchunks = K / chunk;
+
+  parallel_for(nchunks * kc, [&](int64_t row) {
+    const int64_t c = row / kc;
+    const int64_t j = row % kc;
+    uint32_t* dst = reinterpret_cast<uint32_t*>(words) + row * N;
+    std::memset(dst, 0, sizeof(uint32_t) * N);
+    for (int i = 0; i < 4; ++i) {
+      const int64_t pair_row = c * chunk_pairs + i * kc + j;
+      const int32_t* even = codes + (2 * pair_row) * N;
+      const int32_t* odd = codes + (2 * pair_row + 1) * N;
+      const int sh = 8 * i;
+      for (int64_t n = 0; n < N; ++n) {
+        const uint32_t ce = static_cast<uint32_t>(even[n]) & 15u;
+        const uint32_t co = static_cast<uint32_t>(odd[n]) & 15u;
+        const uint32_t f = (ce & 7u) | ((co & 7u) << 3) |
+                           ((ce >> 3) << 6) | ((co >> 3) << 7);
+        dst[n] |= f << sh;
+      }
+    }
+  });
+  return 0;
+}
+
+// Inverse: words [K/8, N] int32 -> codes [K, N] int32 (values in [0, 16)).
+int flute_unpack_w4_sym(const int32_t* words, int32_t* codes, int64_t K,
+                        int64_t N, int64_t chunk) {
+  if (K % chunk != 0 || (chunk / 2) % 4 != 0) return 1;
+  const int64_t chunk_pairs = chunk / 2;
+  const int64_t kc = chunk_pairs / 4;
+  const int64_t nchunks = K / chunk;
+
+  parallel_for(nchunks * kc, [&](int64_t row) {
+    const int64_t c = row / kc;
+    const int64_t j = row % kc;
+    const uint32_t* src = reinterpret_cast<const uint32_t*>(words) + row * N;
+    for (int i = 0; i < 4; ++i) {
+      const int64_t pair_row = c * chunk_pairs + i * kc + j;
+      int32_t* even = codes + (2 * pair_row) * N;
+      int32_t* odd = codes + (2 * pair_row + 1) * N;
+      const int sh = 8 * i;
+      for (int64_t n = 0; n < N; ++n) {
+        const uint32_t f = (src[n] >> sh) & 0xFFu;
+        even[n] = static_cast<int32_t>((f & 7u) | (((f >> 6) & 1u) << 3));
+        odd[n] = static_cast<int32_t>(((f >> 3) & 7u) | ((f >> 7) << 3));
+      }
+    }
+  });
+  return 0;
+}
+
 }  // extern "C"

@@ -87,6 +87,7 @@ def save_quantized(
                     "group_size": leaf.group_size,
                     "config_key": leaf.config_key,
                     "hadamard_size": leaf.hadamard_size,
+                    "layout": getattr(leaf, "layout", "auto"),
                     "tensors": tensors,
                 }
             )
@@ -150,6 +151,7 @@ class StreamingWriter:
         group_size: int,
         config_key: Optional[str] = None,
         bias=None,
+        layout: str = "auto",
     ) -> None:
         tensors = {}
         for i, pl in enumerate(planes):
@@ -168,6 +170,7 @@ class StreamingWriter:
                 "group_size": group_size,
                 "config_key": config_key,
                 "hadamard_size": None,
+                "layout": layout,
                 "tensors": tensors,
             }
         )
@@ -251,6 +254,8 @@ def load_quantized(path: str) -> tuple[Any, dict]:
                 group_size=e["group_size"],
                 config_key=e.get("config_key"),
                 hadamard_size=e.get("hadamard_size"),
+                # pre-r4 checkpoints predate the w4sym layout: "auto"
+                layout=e.get("layout", "auto"),
             )
 
     params = _listify(tree)

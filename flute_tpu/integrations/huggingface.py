@@ -260,9 +260,23 @@ def quantize_hf_model_streaming(
         # round through bf16 first so codes match the in-memory path
         # (load_hf_params loads at bf16 before quantize_model quantizes)
         w_nk = w_nk.astype(ml_dtypes.bfloat16).astype(np.float32)
-        codes, scales, table = nf.nf_quantize_np(w_nk, num_bits, group_size)
-        planes = packing_mod.pack_np(np.ascontiguousarray(codes.T), num_bits)
-        cfg = get_kernel_config(example_batch_size, n, k, num_bits, group_size)
+        # production 4-bit ships the sign-symmetric grid + w4sym fast
+        # layout, same default as nn.quantize_linear
+        if num_bits == 4:
+            codes, scales, table = nf.nf_quantize_symmetric_np(
+                w_nk, num_bits, group_size
+            )
+            planes = packing_mod.pack_w4_sym_np(np.ascontiguousarray(codes.T))
+            layout = "w4sym"
+        else:
+            codes, scales, table = nf.nf_quantize_np(w_nk, num_bits, group_size)
+            planes = packing_mod.pack_np(
+                np.ascontiguousarray(codes.T), num_bits
+            )
+            layout = "auto"
+        cfg = get_kernel_config(
+            example_batch_size, n, k, num_bits, group_size, layout=layout
+        )
         writer.add_quantized(
             tree_path,
             planes,
@@ -271,6 +285,7 @@ def quantize_hf_model_streaming(
             num_bits=num_bits,
             group_size=group_size,
             config_key=cfg.key(),
+            layout=layout,
         )
 
     pending: dict[int, dict[str, np.ndarray]] = {}

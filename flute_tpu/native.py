@@ -119,6 +119,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ]
             lib.flute_pack_w3_wide.argtypes = wide_args
             lib.flute_unpack_w3_wide.argtypes = wide_args
+            for fn in (lib.flute_pack_w4_sym, lib.flute_unpack_w4_sym):
+                fn.restype = ctypes.c_int
+                fn.argtypes = wide_args
             _lib = lib
         except Exception:
             _lib = None
@@ -178,6 +181,37 @@ def pack_w3_wide(codes: np.ndarray, chunk: int) -> Optional[np.ndarray]:
     rc = lib.flute_pack_w3_wide(codes.ctypes.data, out.ctypes.data, k, n, chunk)
     if rc != 0:
         raise ValueError(f"flute_pack_w3_wide failed (rc={rc})")
+    return out
+
+
+def pack_w4_sym(codes: np.ndarray, chunk: int) -> Optional[np.ndarray]:
+    """Native sign-symmetric 4-bit pack: codes [K, N] (sign-magnitude) ->
+    words [K/8, N]; None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    k, n = codes.shape
+    out = np.empty((k // 8, n), np.int32)
+    rc = lib.flute_pack_w4_sym(codes.ctypes.data, out.ctypes.data, k, n, chunk)
+    if rc != 0:
+        raise ValueError(f"flute_pack_w4_sym failed (rc={rc})")
+    return out
+
+
+def unpack_w4_sym(words: np.ndarray, chunk: int) -> Optional[np.ndarray]:
+    """Native sign-symmetric 4-bit unpack: words [K/8, N] -> codes [K, N];
+    None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.int32)
+    rows, n = words.shape
+    k = rows * 8
+    out = np.empty((k, n), np.int32)
+    rc = lib.flute_unpack_w4_sym(words.ctypes.data, out.ctypes.data, k, n, chunk)
+    if rc != 0:
+        raise ValueError(f"flute_unpack_w4_sym failed (rc={rc})")
     return out
 
 

@@ -36,7 +36,13 @@ def _field(**kw):
     return dataclasses.field(**kw)
 
 
-def _pack_auto(codes_kn: jax.Array, num_bits: int, chunk: int, wide: bool = False):
+def _pack_auto(
+    codes_kn: jax.Array,
+    num_bits: int,
+    chunk: int,
+    wide: bool = False,
+    layout: str = "plane",
+):
     """Pack on the device the codes live on: accelerator-resident codes use
     the jnp packer (device->host round trips through a remote TPU tunnel
     are minutes for large models); host codes use the native/numpy packer."""
@@ -44,9 +50,16 @@ def _pack_auto(codes_kn: jax.Array, num_bits: int, chunk: int, wide: bool = Fals
         codes_kn, "devices"
     ) else {"cpu"}
     if platforms - {"cpu"}:
+        if layout == "w4sym":
+            return packing.pack_w4_sym_jnp(codes_kn, chunk=chunk)
         if wide:
             return packing.pack_w3_wide_jnp(codes_kn, chunk=chunk)
         return packing.pack_jnp(codes_kn, num_bits, chunk=chunk)
+    if layout == "w4sym":
+        return [
+            jnp.asarray(p)
+            for p in packing.pack_w4_sym_np(np.asarray(codes_kn), chunk=chunk)
+        ]
     return packing.pack(codes_kn, num_bits, chunk=chunk, wide=wide)
 
 
@@ -82,6 +95,10 @@ class QuantizedLinear:
     # HIGGS checkpoints rotate activations before the GEMM (reference
     # qgemm_hadamard, flute/__init__.py:32-50); None = no rotation.
     hadamard_size: Optional[int] = _field(default=None, metadata=dict(static=True))
+    # Packed-weight layout: "auto" (wide 3-bit detected by plane shape,
+    # standard planes otherwise) or "w4sym" (sign-symmetric 4-bit fast
+    # path — same plane shape as classic W4, so it must ride as metadata).
+    layout: str = _field(default="auto", metadata=dict(static=True))
 
     @property
     def in_features(self) -> int:
@@ -115,6 +132,7 @@ class QuantizedLinear:
             num_bits=self.num_bits,
             config=self.config,
             pair_values=self.pair_values,
+            layout=self.layout,
         )
         if self.bias is not None:
             y = y + self.bias.astype(y.dtype)
@@ -122,7 +140,12 @@ class QuantizedLinear:
 
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
         """Materialize the dense ``[in, out]`` weight (for tests/debug)."""
-        codes = packing.unpack(list(self.planes), self.num_bits)
+        if self.layout == "w4sym":
+            codes = jnp.asarray(
+                packing.unpack_w4_sym_np(np.asarray(self.planes[0]))
+            )
+        else:
+            codes = packing.unpack(list(self.planes), self.num_bits)
         if self.pair_values is not None:
             return lut_gemm.dequantize_codes_pair(
                 codes, self.scales, self.pair_values, dtype
@@ -143,6 +166,7 @@ def quantize_linear(
     config: Optional[KernelConfig] = None,
     chunk: int = packing.DEFAULT_CHUNK,
     wide: Optional[bool] = None,
+    symmetric: Optional[bool] = None,
 ) -> QuantizedLinear:
     """NF-quantize a dense ``[out, in]`` weight into a :class:`QuantizedLinear`.
 
@@ -151,17 +175,49 @@ def quantize_linear(
     caller-provided table, e.g. learned-NFL scales via ``custom_scales``),
     transpose to kernel orientation, pack, and attach a kernel config chosen
     for the expected decode batch size.
+
+    ``symmetric``: quantize against the sign-symmetric NF grid and pack the
+    w4sym fast layout (4-bit only; ~1.3-1.4x decode throughput on v5e —
+    docs/KERNEL_NOTES.md). Default: True for 4-bit when no explicit table
+    was supplied (the production path), False otherwise. A supplied
+    ``table`` is used as-is: if it satisfies the sign-symmetric contract in
+    sign-magnitude order (packing.is_symmetric_table) the w4sym layout is
+    chosen automatically.
     """
     w = jnp.asarray(weight)
     n, k = w.shape
+    if symmetric is None:
+        symmetric = num_bits == 4 and table is None and chunk % 8 == 0
+    layout = "auto"
     if table is None:
-        _, codes, scales, table = nf.nf_quantize(
-            w, num_bits, group_size, custom_scales=custom_scales
-        )
+        if symmetric:
+            if num_bits != 4:
+                raise ValueError("symmetric NF quantization requires num_bits=4")
+            _, codes, scales, table = nf.nf_quantize_symmetric(
+                w, num_bits, group_size, custom_scales=custom_scales
+            )
+            layout = "w4sym"
+        else:
+            _, codes, scales, table = nf.nf_quantize(
+                w, num_bits, group_size, custom_scales=custom_scales
+            )
     else:
-        _, codes, scales = nf.quantize_with_table(
-            w, jnp.asarray(table, jnp.float32), group_size, custom_scales
-        )
+        table = jnp.asarray(table, jnp.float32)
+        if num_bits == 4 and packing.is_symmetric_table(
+            np.asarray(table), num_bits
+        ):
+            # sign-magnitude-ordered symmetric table: quantize via the
+            # ascending view, map codes back, pack the fast layout
+            order = np.argsort(np.asarray(table))
+            _, codes_sorted, scales = nf.quantize_with_table(
+                w, table[jnp.asarray(order)], group_size, custom_scales
+            )
+            codes = jnp.asarray(order, jnp.int32)[codes_sorted]
+            layout = "w4sym"
+        else:
+            _, codes, scales = nf.quantize_with_table(
+                w, table, group_size, custom_scales
+            )
     codes_kn = jnp.asarray(codes).T  # [K, N]
     # 3-bit defaults to the wide single-plane layout when the chunk allows
     # (measurably faster; docs/KERNEL_NOTES.md round 2) — pass wide=False
@@ -170,10 +226,12 @@ def quantize_linear(
         wide = num_bits == 3 and chunk % 256 == 0
     elif wide and (num_bits != 3 or chunk % 256 != 0):
         raise ValueError("wide layout requires num_bits=3 and chunk % 256 == 0")
-    planes = tuple(_pack_auto(codes_kn, num_bits, chunk, wide=wide))
+    planes = tuple(_pack_auto(codes_kn, num_bits, chunk, wide=wide, layout=layout))
     scales_kn = jnp.asarray(scales).T.astype(dtype)  # [K/g, N]
     if config is None:
-        config = get_kernel_config(example_batch_size, n, k, num_bits, group_size)
+        config = get_kernel_config(
+            example_batch_size, n, k, num_bits, group_size, layout=layout
+        )
     if config.chunk != chunk:
         config = dataclasses.replace(config, chunk=chunk)
     return QuantizedLinear(
@@ -184,6 +242,7 @@ def quantize_linear(
         num_bits=num_bits,
         group_size=group_size,
         config_key=config.key(),
+        layout=layout,
     )
 
 

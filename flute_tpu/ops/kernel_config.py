@@ -81,11 +81,6 @@ class KernelConfig:
     lut_mode: str = "gather8"
     # Pack chunk the weight layout was built with (block_k % chunk == 0).
     chunk: int = DEFAULT_CHUNK
-    # Split the K-reduction across this many parallel partial outputs, then
-    # reduce. The deterministic XLA-side replacement for the reference's
-    # Stream-K cross-CTA fixup (flute/csrc/tile_scheduler_utils.hpp:68-209):
-    # partials are materialized and summed by XLA, never atomically.
-    split_k: int = 1
     # Accumulation policy (role of the reference's AccumulationModeEnum
     # {Low, High, Mixed}, config.hpp:111 / conversion_utils.hpp:18-54):
     #   "high"  — f32 VMEM accumulator across K blocks (default; MXU-native);
@@ -95,9 +90,14 @@ class KernelConfig:
     accum: str = "high"
 
     def key(self) -> str:
+        # The `_s1` suffix is a retired split-K knob (it was never consumed
+        # by the kernel; the sequential-K Mosaic pipeline covers the role of
+        # the reference's Stream-K/Split-K scheduler — docs/KERNEL_NOTES.md
+        # "split-K grids: no benefit"). It is still *emitted* so keys stay
+        # identical to those persisted in checkpoints and registries.
         base = (
             f"m{self.block_m}n{self.block_n}k{self.block_k}"
-            f"_{self.lut_mode}_c{self.chunk}_s{self.split_k}"
+            f"_{self.lut_mode}_c{self.chunk}_s1"
         )
         # default accum omitted so existing persisted keys stay valid
         if self.accum != "high":
@@ -109,7 +109,7 @@ class KernelConfig:
         import re
 
         m = re.fullmatch(
-            r"m(\d+)n(\d+)k(\d+)_([a-z0-9_]+?)_c(\d+)_s(\d+)(?:_a([a-z0-9]+))?",
+            r"m(\d+)n(\d+)k(\d+)_([a-z0-9_]+?)_c(\d+)(?:_s\d+)?(?:_a([a-z0-9]+))?",
             key,
         )
         if m is None:
@@ -120,8 +120,7 @@ class KernelConfig:
             block_k=int(m.group(3)),
             lut_mode=m.group(4),
             chunk=int(m.group(5)),
-            split_k=int(m.group(6)),
-            accum=m.group(7) or "high",
+            accum=m.group(6) or "high",
         )
 
 
@@ -143,7 +142,7 @@ def is_config_supported(
         return False
     if n % config.block_n != 0:
         return False
-    if k % (config.block_k * config.split_k) != 0:
+    if k % config.block_k != 0:
         return False
     if group_size > config.block_k:
         return False
@@ -205,11 +204,12 @@ def get_candidate_configs(
     for bm in block_ms:
         for bn in _block_divisors(n, 128, 256, 8192):
             for bk in _block_divisors(k, 256, 256, 8192):
-                # split_k stays 1: the reference's Stream-K/Split-K exists
-                # to fill idle SMs; on TPU the sequential-K Mosaic pipeline
-                # fills equally well with a smaller block_k, and K-split
-                # partials would only add a reduction pass (SURVEY §2.1
-                # "Stream-K ... dissolves").
+                # No split-K dimension: the reference's Stream-K/Split-K
+                # exists to fill idle SMs; on TPU the sequential-K Mosaic
+                # pipeline fills equally well with a smaller block_k, and
+                # K-split partials would only add a reduction pass (SURVEY
+                # §2.1 "Stream-K ... dissolves"; measured in
+                # docs/KERNEL_NOTES.md "split-K grids: no benefit").
                 cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk)
                 if is_config_supported(cfg, m, n, k, num_bits, group_size):
                     steps = (
@@ -294,6 +294,7 @@ def get_kernel_config(
     num_bits: int,
     group_size: int,
     dtype=None,
+    layout: str = "auto",
 ) -> KernelConfig:
     """Static heuristic default config (no tuning).
 
@@ -343,13 +344,19 @@ def get_kernel_config(
         from flute_tpu import tune as _tune
 
         if dtype is None:
-            hit = _tune.lookup_packaged(m, n, k, num_bits, group_size)
+            hit = _tune.lookup_packaged(
+                m, n, k, num_bits, group_size, layout=layout
+            )
         else:
             # per-dtype entries (f16 pipelines tune separately); fall back
             # to the bf16 entry rather than the static heuristic
-            hit = _tune.lookup_packaged(m, n, k, num_bits, group_size, dtype)
+            hit = _tune.lookup_packaged(
+                m, n, k, num_bits, group_size, dtype, layout=layout
+            )
             if hit is None:
-                hit = _tune.lookup_packaged(m, n, k, num_bits, group_size)
+                hit = _tune.lookup_packaged(
+                    m, n, k, num_bits, group_size, layout=layout
+                )
         if hit is not None:
             if lut_override is not None and lut_override != hit.lut_mode:
                 hit = dataclasses.replace(hit, lut_mode=lut_override)

@@ -383,6 +383,65 @@ def _unpack_wide3_payload(
     return jnp.concatenate(out, axis=0), jnp.concatenate(out_o, axis=0)
 
 
+def _unpack_w4sym_payload(
+    words: jnp.ndarray,
+    tile: jnp.ndarray,
+    block_k: int,
+    chunk: int,
+    bn: int,
+    wrap: bool,
+    merge16: bool = True,
+):
+    """Sign-symmetric 4-bit path (see packing.pack_w4_sym_np): byte-aligned
+    8-bit pair fields ``[s_o s_e m_o(3) m_e(3)]``, four per int32 word in the
+    standard chunked pair-plane order. Per field: three chainless 8-entry
+    sublane gathers whose index windows are plain shifts of the word — the
+    hardware mod-8 wrap eats every high bit — over (even magnitudes, odd
+    magnitudes << 16, sign masks). The sign table is 4 entries duplicated
+    over index bit 2 so the window's pollution bit is harmless. Payload =
+    ``(ge | go) ^ gs``: XOR flips the bf16/f16 sign bits, honouring the
+    table contract ``table[c + 8] == -table[c]`` for values of either sign.
+
+    With ``merge16`` (bf16/f16) returns merged 32-bit payloads
+    ``[block_k//2, bn]``; otherwise (f32 compute) returns the (even, odd)
+    f32-bit-pattern tensors, with per-side sign columns, for explicit row
+    interleaving."""
+    op_e = jnp.broadcast_to(tile[:, 0:1], (SUBLANE_TILE, bn))
+    op_o = jnp.broadcast_to(tile[:, 1:2], (SUBLANE_TILE, bn))
+    if merge16:
+        op_s = jnp.broadcast_to(tile[:, 2:3], (SUBLANE_TILE, bn))
+    else:
+        op_se = jnp.broadcast_to(tile[:, 2:3], (SUBLANE_TILE, bn))
+        op_so = jnp.broadcast_to(tile[:, 3:4], (SUBLANE_TILE, bn))
+    cp = chunk // 2
+    r = 4  # byte fields per word
+    kc = cp // r
+    out = []
+    out_o = [] if not merge16 else None
+    for c in range(block_k // chunk):
+        w = words[c * kc:(c + 1) * kc]
+        for j in range(r):
+            f = w if j == 0 else (w >> (8 * j))
+            for s in range(kc // SUBLANE_TILE):
+                sl = f[s * SUBLANE_TILE:(s + 1) * SUBLANE_TILE]
+                idx_e = sl if wrap else (sl & 7)
+                sl3 = sl >> 3
+                idx_o = sl3 if wrap else (sl3 & 7)
+                sl6 = sl >> 6
+                idx_s = sl6 if wrap else (sl6 & 7)
+                ge = _gather_sublane(op_e, idx_e)
+                go = _gather_sublane(op_o, idx_o)
+                if merge16:
+                    gs = _gather_sublane(op_s, idx_s)
+                    out.append((ge | go) ^ gs)
+                else:
+                    out.append(ge ^ _gather_sublane(op_se, idx_s))
+                    out_o.append(go ^ _gather_sublane(op_so, idx_s))
+    if merge16:
+        return jnp.concatenate(out, axis=0)
+    return jnp.concatenate(out, axis=0), jnp.concatenate(out_o, axis=0)
+
+
 def _lut_qgemm_kernel(
     *refs,
     num_planes: int,
@@ -395,7 +454,7 @@ def _lut_qgemm_kernel(
     joint_entries: int,
     wrap: bool,
     group_acc: bool,
-    wide3: bool = False,
+    layout: str = "plane",
 ):
     x_ref = refs[0]
     plane_refs = refs[1:1 + num_planes]
@@ -413,7 +472,7 @@ def _lut_qgemm_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if wide3:
+    if layout == "w3wide":
         if is16:
             payload32 = _unpack_wide3_payload(
                 plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap
@@ -421,6 +480,21 @@ def _lut_qgemm_kernel(
             deq = pltpu.bitcast(payload32, out_dtype)
         else:
             ve_b, vo_b = _unpack_wide3_payload(
+                plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap,
+                merge16=False,
+            )
+            deq = _interleave_rows(
+                pltpu.bitcast(ve_b, out_dtype), pltpu.bitcast(vo_b, out_dtype)
+            )
+        ce = co = None
+    elif layout == "w4sym":
+        if is16:
+            payload32 = _unpack_w4sym_payload(
+                plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap
+            )
+            deq = pltpu.bitcast(payload32, out_dtype)
+        else:
+            ve_b, vo_b = _unpack_w4sym_payload(
                 plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap,
                 merge16=False,
             )
@@ -437,7 +511,7 @@ def _lut_qgemm_kernel(
     ngroups = -(-num_entries // SUBLANE_TILE)
 
     mode = config.lut_mode
-    if wide3:
+    if layout in ("w3wide", "w4sym"):
         pass
     elif mode == "pair_lut":
         if not is16:
@@ -529,6 +603,31 @@ def _table_tile_scalar(table: jnp.ndarray, ct, num_entries: int) -> jnp.ndarray:
     return tile
 
 
+def _table_tile_w4sym(table: jnp.ndarray, ct) -> jnp.ndarray:
+    """[8, 128] int32 tile for the w4sym path. ``table`` is in
+    sign-magnitude code order (table[c+8] == -table[c]); only the magnitude
+    half table[0:8] is materialized. Columns: 0 = magnitude bit patterns
+    (even side), 1 = magnitudes pre-shifted << 16 (odd side; f32: unshifted),
+    2 = sign-XOR masks for the pair-sign window (4 entries duplicated over
+    index bit 2); f32 compute splits the masks over columns 2 (even) and 3
+    (odd)."""
+    mags = table[:SUBLANE_TILE]
+    is16 = jnp.dtype(ct).itemsize == 2
+    bits = _bits16(mags, ct) if is16 else _bits32(mags)
+    idx = jnp.arange(SUBLANE_TILE, dtype=jnp.uint32)
+    tile = jnp.zeros((SUBLANE_TILE, LANE_WIDTH), jnp.int32)
+    tile = tile.at[:, 0].set(bits)
+    if is16:
+        tile = tile.at[:, 1].set(bits << 16)
+        smask = ((idx & 1) << 15) | ((idx & 2) << 30)
+        tile = tile.at[:, 2].set(smask.astype(jnp.int32))
+    else:
+        tile = tile.at[:, 1].set(bits)
+        tile = tile.at[:, 2].set(((idx & 1) << 31).astype(jnp.int32))
+        tile = tile.at[:, 3].set(((idx & 2) << 30).astype(jnp.int32))
+    return tile
+
+
 def _table_tile_pair(
     pair_values: jnp.ndarray, ct, num_bits: int
 ) -> jnp.ndarray:
@@ -553,7 +652,7 @@ def _table_tile_pair(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_bits", "config", "interpret", "wide3"),
+    static_argnames=("num_bits", "config", "interpret", "layout"),
 )
 def _lut_qgemm_2d(
     x: jnp.ndarray,
@@ -565,12 +664,17 @@ def _lut_qgemm_2d(
     num_bits: int,
     config: KernelConfig,
     interpret: bool,
-    wide3: bool = False,
+    layout: str = "plane",
 ) -> jnp.ndarray:
     m, k = x.shape
     n = scales.shape[1]
     group_size = k // scales.shape[0]
-    plane_bits = (3,) if wide3 else bitutils.planes_for_bits(num_bits)
+    if layout == "w3wide":
+        plane_bits = (3,)
+    elif layout == "w4sym":
+        plane_bits = (4,)
+    else:
+        plane_bits = bitutils.planes_for_bits(num_bits)
     ct = x.dtype
     num_entries = 2 ** num_bits
     joint_entries = num_entries * num_entries
@@ -579,7 +683,11 @@ def _lut_qgemm_2d(
     assert m % bm == 0 and n % bn == 0 and k % bk == 0, (m, n, k, config)
     grid = (m // bm, n // bn, k // bk)
 
-    if config.lut_mode == "pair_lut":
+    if layout == "w4sym":
+        if pair_values is not None:
+            raise ValueError("pair_values incompatible with layout='w4sym'")
+        tile = _table_tile_w4sym(table, ct)
+    elif config.lut_mode == "pair_lut":
         if pair_values is None:
             # Separable pair table from the scalar table (outer structure).
             e = num_entries
@@ -636,7 +744,7 @@ def _lut_qgemm_2d(
         # (decode); weight-side scaling wins at prefill M (deep-K matmuls);
         # threshold lives in the device profile (v5e-calibrated)
         group_acc=bm <= _group_acc_max_bm(),
-        wide3=wide3,
+        layout=layout,
     )
 
     weight_bytes = sum(p.size * 4 for p in planes)
@@ -687,6 +795,7 @@ def lut_qgemm(
     config: KernelConfig | None = None,
     pair_values: Optional[jnp.ndarray] = None,
     interpret: bool | None = None,
+    layout: str = "auto",
 ) -> jnp.ndarray:
     """Fused LUT-dequant GEMM: ``x @ (table[codes] * scales_expanded)``.
 
@@ -701,6 +810,12 @@ def lut_qgemm(
       pair_values: optional joint pair table ``[2^b, 2^b, 2]`` for vector
         dequantization (HIGGS); forces lut_mode='pair_lut'.
       interpret: force Pallas interpreter mode (defaults to True on CPU).
+      layout: packed-weight layout. "auto" detects the wide 3-bit layout by
+        plane shape and otherwise assumes the standard plane layout;
+        "w4sym" selects the sign-symmetric 4-bit fast path
+        (:func:`flute_tpu.packing.pack_w4_sym_np`; requires
+        ``table[c + 8] == -table[c]`` — it cannot be shape-detected, so
+        callers carrying w4sym weights must pass it explicitly).
     """
     if isinstance(qweight, (jnp.ndarray, jax.Array)):
         qweight = [qweight]
@@ -718,8 +833,23 @@ def lut_qgemm(
     # single-plane layout (packing.pack_w3_wide_np), detected by shape
     from flute_tpu import packing as _packing
 
-    wide3 = _packing.is_w3_wide(planes, num_bits, k)
-    if not wide3:
+    if layout == "auto":
+        layout = "w3wide" if _packing.is_w3_wide(planes, num_bits, k) else "plane"
+    if layout not in ("plane", "w3wide", "w4sym"):
+        raise ValueError(f"Unknown layout: {layout}")
+    if layout == "w3wide":
+        if num_bits != 3 or not _packing.is_w3_wide(planes, num_bits, k):
+            raise ValueError("layout='w3wide' requires a wide 3-bit plane")
+    elif layout == "w4sym":
+        if num_bits != 4:
+            raise ValueError("layout='w4sym' requires num_bits=4")
+        want = (k // 8, n)
+        if len(planes) != 1 or tuple(planes[0].shape) != want:
+            raise ValueError(
+                f"w4sym plane shape {[tuple(p.shape) for p in planes]} != "
+                f"expected [{want}] for K={k}, N={n}"
+            )
+    else:
         plane_bits_chk = bitutils.planes_for_bits(num_bits)
         if len(planes) != len(plane_bits_chk):
             raise ValueError(
@@ -739,7 +869,9 @@ def lut_qgemm(
         )
 
     if config is None:
-        config = get_kernel_config(m, n, k, num_bits, group_size, dtype=x.dtype)
+        config = get_kernel_config(
+            m, n, k, num_bits, group_size, dtype=x.dtype, layout=layout
+        )
     else:
         config = fit_config(config, m, n, k, num_bits, group_size)
     if pair_values is not None and config.lut_mode != "pair_lut":
@@ -763,7 +895,7 @@ def lut_qgemm(
         num_bits=num_bits,
         config=config,
         interpret=interpret,
-        wide3=wide3,
+        layout=layout,
     )
     if m_pad != m:
         y = y[:m]

@@ -302,6 +302,136 @@ def pack_w3_wide_jnp(
     return [lax.bitcast_convert_type(out, jnp.int32)]
 
 
+# ---------------------------------------------------------------------------
+# Sign-symmetric 4-bit layout ("w4sym"): byte-aligned pair fields
+# ---------------------------------------------------------------------------
+#
+# For tables satisfying table[c + 8] == -table[c] (sign-symmetric grids —
+# e.g. nf_values(4, symmetric=True) reordered to sign-magnitude codes), the
+# 16-entry lookup factors into an 8-entry *magnitude* gather plus a sign-bit
+# XOR — eliminating the 2-gather+compare+select chain that caps the general
+# W4 kernel at ~52-56% of the v5e roofline (docs/KERNEL_NOTES.md).
+#
+# Code semantics: c = s * 8 + m (sign-magnitude).  Pair field (one byte):
+#
+#   f = m_e | m_o << 3 | s_e << 6 | s_o << 7
+#
+# Four fields per int32 word in the standard chunked pair-plane arrangement
+# (_pack_pair_plane_np with field_bits=8), so the plane shape is [K/8, N] —
+# identical byte count to classic W4. The kernel reads each field with three
+# chainless 8-entry sublane gathers, all index windows plain shifts of the
+# *word* (the hardware mod-8 index wrap eats every high bit): m_e at
+# bits 0-2, m_o at bits 3-5, and the sign pair at bits 6-7 through a
+# 4-entry sign-mask table duplicated over index bit 2. Payload =
+# (ge | go) ^ gs. Because the layout has the same plane shape as classic
+# W4, it cannot be shape-detected: callers must carry layout="w4sym"
+# metadata (QuantizedLinear.layout / lut_qgemm(layout=...)).
+
+
+def pack_w4_sym_np(
+    codes: np.ndarray,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    use_native: bool = True,
+) -> list[np.ndarray]:
+    """Pack ``[K, N]`` 4-bit sign-magnitude codes (c = s*8 + m) into the
+    sign-symmetric byte-field layout (single int32 plane ``[K/8, N]``)."""
+    k, n = codes.shape
+    if k % chunk != 0:
+        raise ValueError(f"K={k} must be a multiple of pack chunk {chunk}")
+    if use_native:
+        from flute_tpu import native
+
+        if native.available():
+            packed = native.pack_w4_sym(codes, chunk)
+            if packed is not None:
+                return [packed]
+    c = np.asarray(codes).astype(np.uint32)
+    ce, co = c[0::2], c[1::2]
+    f = (ce & 7) | ((co & 7) << 3) | ((ce >> 3) << 6) | ((co >> 3) << 7)
+    return [_pack_pair_plane_np(f, 8, chunk // 2)]
+
+
+def unpack_w4_sym_np(
+    plane: np.ndarray,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    use_native: bool = True,
+) -> np.ndarray:
+    """Inverse of :func:`pack_w4_sym_np` -> ``[K, N]`` int32 codes."""
+    if use_native:
+        from flute_tpu import native
+
+        if native.available():
+            codes = native.unpack_w4_sym(np.asarray(plane), chunk)
+            if codes is not None:
+                return codes
+    f = _unpack_pair_plane_np(np.asarray(plane), 8, chunk // 2)
+    p, n = f.shape
+    codes = np.empty((2 * p, n), np.int64)
+    codes[0::2] = (f & 7) | (((f >> 6) & 1) << 3)
+    codes[1::2] = ((f >> 3) & 7) | (((f >> 7) & 1) << 3)
+    return codes.astype(np.int32)
+
+
+def pack_w4_sym_jnp(
+    codes: jnp.ndarray, *, chunk: int = DEFAULT_CHUNK
+) -> list[jnp.ndarray]:
+    """On-device (jittable) w4sym pack — same layout as
+    :func:`pack_w4_sym_np`."""
+    k, n = codes.shape
+    if k % chunk != 0:
+        raise ValueError(f"K={k} must be a multiple of pack chunk {chunk}")
+    c = codes.astype(jnp.uint32)
+    ce, co = c[0::2], c[1::2]
+    f = (ce & 7) | ((co & 7) << 3) | ((ce >> 3) << 6) | ((co >> 3) << 7)
+    cp = chunk // 2
+    r = 4  # byte fields per word
+    kc = cp // r
+    x = f.reshape(k // chunk, r, kc, n)
+    shifts = (8 * jnp.arange(r, dtype=jnp.uint32))[None, :, None, None]
+    words = jax.lax.reduce(
+        x << shifts, jnp.uint32(0), jax.lax.bitwise_or, dimensions=(1,)
+    )
+    return [
+        lax.bitcast_convert_type(words.reshape(k // 8, n), jnp.int32)
+    ]
+
+
+def sym_code_order(table_ascending: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Map an ascending sign-symmetric table to sign-magnitude code order.
+
+    For an ascending table of 2^b entries with v[i] == -v[2^b-1-i], returns
+    ``(table_sym, perm)`` where ``table_sym[c]`` is the value of
+    sign-magnitude code c (``table_sym[c + H] == -table_sym[c]``, H=2^(b-1))
+    and ``perm`` maps ascending-order codes to sign-magnitude codes
+    (``code_sym = perm[code_ascending]``).
+    """
+    v = np.asarray(table_ascending, np.float32)
+    e = v.shape[0]
+    h = e // 2
+    if not np.allclose(v[: h][::-1], -v[h:], rtol=0, atol=1e-6 * np.abs(v).max()):
+        raise ValueError("table is not sign-symmetric (v[i] != -v[e-1-i])")
+    table_sym = np.concatenate([v[h:], -v[h:]])  # mags = positive half asc
+    perm = np.empty(e, np.int64)
+    for a in range(e):
+        perm[a] = (a - h) if a >= h else (h + (h - 1 - a))
+    return table_sym.astype(np.float32), perm
+
+
+def is_symmetric_table(table, num_bits: int) -> bool:
+    """True when ``table`` (sign-magnitude order) satisfies the w4sym
+    contract table[c + H] == -table[c] exactly (including -0.0 == -(0.0))."""
+    t = np.asarray(table, np.float32)
+    e = 2 ** num_bits
+    if t.shape[-1] != e:
+        return False
+    h = e // 2
+    lo = t[..., :h].view(np.uint32)
+    hi = t[..., h:].view(np.uint32)
+    return bool(np.all(hi == (lo ^ np.uint32(0x80000000))))
+
+
 def is_w3_wide(planes, num_bits: int, k: int) -> bool:
     """Detect the wide 3-bit layout from plane structure (single plane of
     3K/32 rows vs the classic 2-plane (2K/32, K/32) split)."""
@@ -402,6 +532,7 @@ def reconstruct(
     *,
     chunk: int = DEFAULT_CHUNK,
     use_kernel: bool = True,
+    layout: str = "auto",
 ) -> jnp.ndarray:
     """Dequantize packed weights to ``[K, N]`` by running the GEMM with an
     identity input (the reference's ``utils.reconstruct`` contract,
@@ -416,9 +547,12 @@ def reconstruct(
     eye = jnp.eye(k, dtype=scales.dtype)
     if use_kernel:
         return lut_gemm.lut_qgemm(
-            eye, list(planes), scales, table, num_bits=num_bits
+            eye, list(planes), scales, table, num_bits=num_bits, layout=layout
         )
-    codes = unpack(planes, num_bits, chunk=chunk)
+    if layout == "w4sym":
+        codes = jnp.asarray(unpack_w4_sym_np(np.asarray(planes[0]), chunk=chunk))
+    else:
+        codes = unpack(planes, num_bits, chunk=chunk)
     return lut_gemm.dequantize_codes(codes, scales, table, scales.dtype)
 
 
@@ -427,18 +561,35 @@ def unpack_via_kernel(
     num_bits: int,
     n: int,
     k: int,
+    *,
+    layout: str = "auto",
 ) -> jnp.ndarray:
     """Recover codes by reconstructing with an identity table and unit scales
     — the kernel-as-its-own-inverse trick (reference flute/utils.py:379-407).
     Exact because 2^b <= 256 integers are exactly representable in bf16/f32."""
     from flute_tpu.ops import lut_gemm
 
-    # bf16 compute for the wide 3-bit layout (its payload path is 16-bit);
+    # bf16 compute for the wide layouts (their payload paths are 16-bit);
     # codes <= 255 are exactly representable either way
-    ct = jnp.bfloat16 if is_w3_wide(planes, num_bits, k) else jnp.float32
-    table = jnp.arange(2 ** num_bits, dtype=jnp.float32)
+    if layout == "auto":
+        layout = "w3wide" if is_w3_wide(planes, num_bits, k) else "plane"
+    ct = jnp.bfloat16 if layout in ("w3wide", "w4sym") else jnp.float32
+    if layout == "w4sym":
+        # sign-distinguishing identity table honouring the symmetric
+        # contract: t[c] = c+1 for magnitudes, -(m+1) for the sign half
+        h = 2 ** (num_bits - 1)
+        mags = jnp.arange(1, h + 1, dtype=jnp.float32)
+        table = jnp.concatenate([mags, -mags])
+    else:
+        table = jnp.arange(2 ** num_bits, dtype=jnp.float32)
     # unit scales at group_size=64; any group size works with unit scales
     scales = jnp.ones((k // 64, n), ct)
     eye = jnp.eye(k, dtype=ct)
-    deq = lut_gemm.lut_qgemm(eye, list(planes), scales, table, num_bits=num_bits)
-    return jnp.round(deq.astype(jnp.float32)).astype(jnp.int32)
+    deq = lut_gemm.lut_qgemm(
+        eye, list(planes), scales, table, num_bits=num_bits, layout=layout
+    )
+    v = jnp.round(deq.astype(jnp.float32)).astype(jnp.int32)
+    if layout == "w4sym":
+        h = 2 ** (num_bits - 1)
+        return jnp.where(v > 0, v - 1, h - 1 - v)
+    return v

@@ -135,12 +135,23 @@ def repack(
         if new_config is not None
         else (new_chunk if new_chunk is not None else old_chunk)
     )
-    codes = packing.unpack_np(
-        [np.asarray(p) for p in layer.planes], layer.num_bits, chunk=old_chunk
-    )
-    planes = packing.pack_np(codes, layer.num_bits, chunk=chunk)
+    if getattr(layer, "layout", "auto") == "w4sym":
+        codes = packing.unpack_w4_sym_np(
+            np.asarray(layer.planes[0]), chunk=old_chunk
+        )
+        planes = packing.pack_w4_sym_np(codes, chunk=chunk)
+        back = packing.unpack_w4_sym_np(planes[0], chunk=chunk) if verify else None
+    else:
+        codes = packing.unpack_np(
+            [np.asarray(p) for p in layer.planes], layer.num_bits,
+            chunk=old_chunk,
+        )
+        planes = packing.pack_np(codes, layer.num_bits, chunk=chunk)
+        back = (
+            packing.unpack_np(planes, layer.num_bits, chunk=chunk)
+            if verify else None
+        )
     if verify:
-        back = packing.unpack_np(planes, layer.num_bits, chunk=chunk)
         if not np.array_equal(back, codes):
             raise AssertionError("repack round-trip is not lossless")
     cfg = new_config

@@ -160,16 +160,71 @@ def nf_quantize(
     return deq, codes, scales, values
 
 
+def nf_values_symmetric_exact(num_bits: int) -> np.ndarray:
+    """Ascending sign-symmetric NF table, symmetrized at the bit level
+    (``v[i] == -v[2^b-1-i]`` exactly) so it satisfies the w4sym kernel
+    layout contract after any rounding (sign flips are exact in every IEEE
+    dtype). Host-side numpy (table construction is offline math)."""
+    v = np.asarray(nf_values(num_bits, symmetric=True), np.float64)
+    v = (v - v[::-1]) / 2.0  # cancel scipy.ppf roundoff asymmetry
+    v = v / np.max(np.abs(v))
+    return v.astype(np.float32)
+
+
+def nf_quantize_symmetric(
+    w: jnp.ndarray,
+    num_bits: int,
+    group_size: int,
+    custom_scales: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sign-symmetric NF quantization for the w4sym kernel layout.
+
+    Returns (dequantized, codes, scales, table) where codes are
+    *sign-magnitude* (c = s*2^(b-1) + m) and the returned table is in code
+    order with ``table[c + 2^(b-1)] == -table[c]``.
+    """
+    from flute_tpu.packing import sym_code_order
+
+    v = nf_values_symmetric_exact(num_bits)
+    table_sym, perm = sym_code_order(v)
+    deq, codes_asc, scales = quantize_with_table(
+        w, jnp.asarray(v), group_size, custom_scales
+    )
+    codes = jnp.asarray(perm, jnp.int32)[codes_asc]
+    return deq, codes, scales, jnp.asarray(table_sym)
+
+
+def nf_quantize_symmetric_np(
+    w: np.ndarray,
+    num_bits: int,
+    group_size: int,
+    custom_scales: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side twin of :func:`nf_quantize_symmetric` for streaming
+    checkpoint quantization. Returns (codes, scales, table)."""
+    from flute_tpu.packing import sym_code_order
+
+    v = nf_values_symmetric_exact(num_bits)
+    table_sym, perm = sym_code_order(v)
+    codes_asc, scales = quantize_with_table_np(w, v, group_size, custom_scales)
+    return perm[codes_asc].astype(np.int32), scales, table_sym
+
+
 def nf_quantize_fake(
     w: jnp.ndarray,
     num_bits: int,
     group_size: int,
     dtype,
+    symmetric: bool = False,
 ) -> jnp.ndarray:
     """Kernel-faithful fake quantization: table lookup and scale multiply are
     rounded in ``dtype`` exactly as the kernel computes them (role of
-    reference flute/nf_utils.py:75-89)."""
-    values = nf_values(num_bits, symmetric=False)
+    reference flute/nf_utils.py:75-89). ``symmetric`` mirrors the
+    sign-symmetric grid used by the w4sym kernel layout."""
+    if symmetric:
+        values = jnp.asarray(nf_values_symmetric_exact(num_bits))
+    else:
+        values = nf_values(num_bits, symmetric=False)
     _, codes, scales = quantize_with_table(w, values, group_size)
     t = values.astype(dtype)
     s = jnp.repeat(scales.astype(dtype), group_size, axis=-1).reshape(w.shape)

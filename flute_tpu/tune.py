@@ -58,6 +58,9 @@ class TuneMetaData:
     dtype: str
     device_kind: str
     config_key: str
+    # packed layout the config was tuned for ("auto" covers the classic
+    # layouts; "w4sym" is a distinct kernel) — absent in pre-r4 metadata
+    layout: str = "auto"
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)
@@ -67,10 +70,25 @@ class TuneMetaData:
         return TuneMetaData(**d)
 
 
-def _memo_key(m, n, k, num_bits, group_size, dtype, device_kind):
+def _bits_key(num_bits, layout: str = "auto"):
+    """Registry encoding of (num_bits, layout). The w4sym layout shares
+    num_bits=4 but is a different kernel with different optimal blocks, so
+    it tunes and persists under the marker "4s". (3-bit needs no marker:
+    the wide layout is what the tuner packs and production ships.)"""
+    if layout == "w4sym":
+        if num_bits != 4:
+            raise ValueError("layout='w4sym' requires num_bits=4")
+        return "4s"
+    return num_bits
+
+
+def _memo_key(m, n, k, num_bits, group_size, dtype, device_kind, layout="auto"):
     # Like the reference, decode shapes below one tile share a key
     # (tune.py:192-202 uses max(M, 16)).
-    return (_VERSION, max(m, 16), n, k, num_bits, group_size, str(dtype), device_kind)
+    return (
+        _VERSION, max(m, 16), n, k, _bits_key(num_bits, layout), group_size,
+        str(dtype), device_kind,
+    )
 
 
 _MEMO: dict[tuple, KernelConfig] = {}
@@ -129,12 +147,15 @@ def tune_config(
     use_memo: bool = True,
     verify: bool = True,
     verbose: bool = False,
+    layout: str = "auto",
 ) -> KernelConfig:
     """Benchmark candidate configs for (M, N, K, b, g, dtype) on the current
     device, verify the winner against a host oracle, and return the fastest
     *verified* config (reference _tune + check, tune.py:205-257,294-392)."""
     kind = _device_kind()
-    key = _memo_key(m, n, k, num_bits, group_size, jnp.dtype(dtype).name, kind)
+    key = _memo_key(
+        m, n, k, num_bits, group_size, jnp.dtype(dtype).name, kind, layout
+    )
     if use_memo and key in _MEMO:
         return _MEMO[key]
     if jax.default_backend() == "cpu":
@@ -146,13 +167,20 @@ def tune_config(
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 2**num_bits, size=(k, n), dtype=np.int32)
     # tune the layout production uses: 3-bit ships the wide single-plane
-    # layout by default (nn.py quantize path; docs/KERNEL_NOTES.md r2)
-    planes = [
-        jax.device_put(p)
-        for p in packing.pack(codes, num_bits, wide=(num_bits == 3))
-    ]
+    # layout by default; 4-bit with layout="w4sym" ships the sign-symmetric
+    # byte-field layout (nn.py quantize path; docs/KERNEL_NOTES.md)
+    if layout == "w4sym":
+        raw = packing.pack_w4_sym_np(codes)
+    else:
+        raw = packing.pack(codes, num_bits, wide=(num_bits == 3))
+    planes = [jax.device_put(np.asarray(p)) for p in raw]
     scales_np = rng.uniform(0.5, 1.5, (k // group_size, n)).astype(np.float32)
-    table_np = np.sort(rng.standard_normal(2**num_bits)).astype(np.float32)
+    if layout == "w4sym":
+        # sign-magnitude-ordered symmetric table (the layout contract)
+        mags = np.sort(np.abs(rng.standard_normal(2 ** (num_bits - 1))))
+        table_np = np.concatenate([mags, -mags]).astype(np.float32)
+    else:
+        table_np = np.sort(rng.standard_normal(2**num_bits)).astype(np.float32)
     x_np = rng.standard_normal((m, k)).astype(np.float32)
     scales = jnp.asarray(scales_np, dtype)
     table = jnp.asarray(table_np, jnp.float32)
@@ -170,8 +198,6 @@ def tune_config(
     fns = {}
     timed = []
     for ci, cfg in enumerate(candidates):
-        if cfg.split_k != 1:
-            continue  # split-K path handled by XLA partials; not yet swept
         if verbose:
             # one line per candidate so an outer watchdog (e.g.
             # scripts/registry_marathon.sh) can distinguish a slow-but-live
@@ -184,7 +210,7 @@ def tune_config(
             def f(x_, planes_=planes, scales_=scales, table_=table, c=cfg):
                 return lut_gemm.lut_qgemm(
                     x_, planes_, scales_, table_, num_bits=num_bits,
-                    config=c, interpret=False,
+                    config=c, interpret=False, layout=layout,
                 )
 
             t = bench_op(f, x, iters=iters)
@@ -283,6 +309,7 @@ def tune_linear(layer, m: int, dtype=jnp.bfloat16, **kw):
     """Retune a QuantizedLinear's config for batch size ``m``. No repack is
     ever needed (layout is block-shape independent) — the TPU answer to the
     reference's maybe_tune_and_repack (tune.py:534-591)."""
+    kw.setdefault("layout", getattr(layer, "layout", "auto"))
     cfg = tune_config(
         m, layer.out_features, layer.in_features, layer.num_bits,
         layer.group_size, dtype, **kw,
@@ -305,6 +332,7 @@ def metadata_for(layer, m: int, dtype=jnp.bfloat16) -> TuneMetaData:
         dtype=jnp.dtype(dtype).name,
         device_kind=_device_kind(),
         config_key=layer.config_key or "",
+        layout=getattr(layer, "layout", "auto"),
     )
 
 
@@ -317,6 +345,7 @@ def maybe_retune(layer, meta: TuneMetaData, m: int, dtype=jnp.bfloat16):
         and max(meta.m, 16) == max(m, 16)
         and meta.device_kind == _device_kind()
         and meta.dtype == jnp.dtype(dtype).name
+        and meta.layout == getattr(layer, "layout", "auto")
     )
     if same and meta.config_key:
         return layer.with_config(KernelConfig.from_key(meta.config_key))
@@ -334,7 +363,8 @@ _packaged_loaded = False
 
 
 def lookup_packaged(
-    m: int, n: int, k: int, num_bits: int, group_size: int, dtype=jnp.bfloat16
+    m: int, n: int, k: int, num_bits: int, group_size: int,
+    dtype=jnp.bfloat16, layout: str = "auto",
 ) -> Optional[KernelConfig]:
     """Consult the registry shipped with the package (and anything already
     tuned this process) without triggering a tuning sweep. Keys match on
@@ -351,7 +381,9 @@ def lookup_packaged(
         kind = _device_kind()
     except Exception:
         return None
-    key = _memo_key(m, n, k, num_bits, group_size, jnp.dtype(dtype).name, kind)
+    key = _memo_key(
+        m, n, k, num_bits, group_size, jnp.dtype(dtype).name, kind, layout
+    )
     return _MEMO.get(key)
 
 
@@ -372,9 +404,12 @@ def load_registry(path: str) -> int:
     n = 0
     for k, v in data.items():
         parts = k.split("|")
+        # bits field is an int for standard layouts, a marker string for
+        # layout-variant kernels ("4s" = w4sym; see _bits_key)
+        bits = int(parts[4]) if parts[4].isdigit() else parts[4]
         key = (
             parts[0], int(parts[1]), int(parts[2]), int(parts[3]),
-            int(parts[4]), int(parts[5]), parts[6], parts[7],
+            bits, int(parts[5]), parts[6], parts[7],
         )
         _MEMO[key] = KernelConfig.from_key(v)
         n += 1

@@ -33,7 +33,11 @@ def _fake_quant_params(params, num_bits, group_size):
         new_layer = dict(layer)
         for key in llama._PROJ_KEYS:
             w = jnp.asarray(layer[key]).T  # [out, in]
-            fq = nf.nf_quantize_fake(w, num_bits, group_size, jnp.bfloat16)
+            # production 4-bit uses the sign-symmetric NF grid (w4sym layout)
+            fq = nf.nf_quantize_fake(
+                w, num_bits, group_size, jnp.bfloat16,
+                symmetric=(num_bits == 4),
+            )
             new_layer[key] = fq.T  # back to [in, out]
         out["layers"].append(new_layer)
     return out
@@ -65,7 +69,7 @@ def test_quantized_linear_dequantize_is_exact():
 
     deq = layer.dequantize(jnp.bfloat16)
     recon = packing.reconstruct(
-        list(layer.planes), layer.scales, layer.table, 4
+        list(layer.planes), layer.scales, layer.table, 4, layout=layer.layout
     )
     np.testing.assert_array_equal(
         np.asarray(deq, np.float32), np.asarray(recon, np.float32)
