@@ -273,6 +273,7 @@ def quantize_model(
     chunk: Optional[int] = None,
     fuse: bool = False,
     quantize_lm_head: bool = False,
+    symmetric: Optional[bool] = None,
 ) -> dict:
     """Same projection walker as llama.quantize_model; additionally supports
     ``quantize_lm_head`` for Gemma-2's *tied* embed head (r2 verdict weak #6:
@@ -283,6 +284,7 @@ def quantize_model(
         params, num_bits, group_size,
         example_batch_size=example_batch_size, chunk=chunk, fuse=fuse,
         quantize_lm_head=False,  # gemma2 params have no dense lm_head key
+        symmetric=symmetric,
     )
     if quantize_lm_head:
         from flute_tpu.nn import quantize_linear

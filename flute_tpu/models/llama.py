@@ -457,6 +457,7 @@ def quantize_model(
     chunk: Optional[int] = None,
     fuse: bool = False,
     quantize_lm_head: bool = False,
+    symmetric: Optional[bool] = None,
 ) -> dict:
     """Quantize every projection matrix in a Llama params pytree (the seven
     per-block linears; embeddings / norms / lm_head stay dense — same layer
@@ -474,6 +475,8 @@ def quantize_model(
     kw = {}
     if chunk is not None:
         kw["chunk"] = chunk
+    if symmetric is not None:
+        kw["symmetric"] = symmetric
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:

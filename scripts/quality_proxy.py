@@ -6,19 +6,25 @@ absolute-PPL reproduction is impossible; what IS verifiable here is the
 *structure* the reference's tables exhibit, on a model with real learned
 signal:
 
-  1. train a tiny Llama (real architecture) to convergence on a synthetic
-     Markov corpus — giving weights with meaningful structure;
+  1. train a 4-layer / hidden-512 Llama (real architecture) NEAR CAPACITY
+     on a synthetic order-2 Markov corpus — the task is hard enough that
+     the model cannot absorb quantization noise, so bit-width damage is
+     statistically resolvable (r3 verdict weak #7: the old 2-layer proxy
+     showed dense==W4 to 4 decimals);
   2. dense PPL < W4 < W3 < W2 (quality degrades with bit width, same
      ordering as reference README.md:143-145);
   3. kernel PPL == fake-quant PPL (the Pallas path is numerically faithful
      to the quantization semantics at model scale — the reference's
      tests/vllm.py:57-82 equivalence, taken to full-model PPL);
-  4. NFL calibration (learned scales) moves quantized PPL back toward
+  4. the sign-symmetric NF grid (w4sym production layout) is quality-
+     equivalent to asymmetric QLoRA-NF4 at this scale — the evidence
+     behind shipping w4sym as the 4-bit default;
+  5. NFL calibration (learned scales) moves quantized PPL back toward
      dense (the reference's NFL 6.31→6.24 direction, README.md:143-144).
 
 Writes QUALITY.json; QUALITY.md is the human-readable summary.
 
-Usage: python scripts/quality_proxy.py [--steps 600] [--device cpu|tpu]
+Usage: python scripts/quality_proxy.py [--steps 1500] [--device cpu|tpu]
 """
 
 import argparse
@@ -29,25 +35,34 @@ import numpy as np
 
 
 def make_corpus(vocab: int, n_tokens: int, seed: int):
-    """Order-1 Markov chain with 4 sparse successors per token. The
-    transition table is FIXED (seed 1234) — train and eval draw different
-    trajectories from the same chain."""
-    succ = np.random.default_rng(1234).integers(0, vocab, (vocab, 2))
+    """Order-2 Markov chain: the successor distribution depends on the
+    last TWO tokens (4 sparse successors, skewed probs, 3% uniform noise).
+    The transition table is FIXED (seed 1234) — train and eval draw
+    different trajectories from the same chain. Order-2 over vocab^2
+    contexts is far beyond what a hidden-512 model can memorize, keeping
+    it under-parameterized relative to the task."""
+    tab_rng = np.random.default_rng(1234)
+    succ = tab_rng.integers(0, vocab, (vocab, vocab, 4))
     rng = np.random.default_rng(seed)
-    probs = np.asarray([0.9, 0.1])
+    probs = np.asarray([0.55, 0.25, 0.15, 0.05])
     toks = np.empty(n_tokens, np.int32)
     toks[0] = rng.integers(0, vocab)
-    choices = rng.choice(2, size=n_tokens, p=probs)
-    uniform = rng.random(n_tokens) < 0.02
+    toks[1] = rng.integers(0, vocab)
+    choices = rng.choice(4, size=n_tokens, p=probs)
+    uniform = rng.random(n_tokens) < 0.03
     randoms = rng.integers(0, vocab, n_tokens)
-    for i in range(1, n_tokens):
-        toks[i] = randoms[i] if uniform[i] else succ[toks[i - 1], choices[i]]
+    for i in range(2, n_tokens):
+        toks[i] = (
+            randoms[i]
+            if uniform[i]
+            else succ[toks[i - 2], toks[i - 1], choices[i]]
+        )
     return toks
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--device", type=str, default="cpu")
     p.add_argument("--nfl-steps", type=int, default=60)
     p.add_argument("--out", type=str, default="QUALITY.json")
@@ -64,9 +79,12 @@ def main():
     from flute_tpu.models import llama
     from flute_tpu.quantize import learnable
 
-    vocab = 512
+    vocab = 1024
     config = dataclasses.replace(
-        llama.LlamaConfig.tiny(vocab_size=vocab), num_layers=2
+        llama.LlamaConfig.tiny(vocab_size=vocab),
+        num_layers=4,
+        hidden_size=512,
+        intermediate_size=1024,
     )
     params = llama.init_params(config, rng=0)
     # train in f32 for stable convergence of the proxy
@@ -107,24 +125,42 @@ def main():
 
     from flute_tpu.quantize import nf as nf_mod
 
-    for bits in (4, 3, 2):
-        q = llama.quantize_model(params, num_bits=bits, group_size=64)
-        results[f"w{bits}_kernel"] = ppl(q)
-        # fake-quant twin (dense weights carrying quantized values)
+    def fake_model(bits, symmetric=False):
+        """Dense twin carrying kernel-faithful fake-quant values."""
         fake = {k: v for k, v in params.items()}
         fake["layers"] = []
         for layer in params["layers"]:
             nl = dict(layer)
             for key in llama._PROJ_KEYS:
                 w = jnp.asarray(layer[key]).T
-                nl[key] = nf_mod.nf_quantize_fake(w, bits, 64, jnp.bfloat16).T
+                nl[key] = nf_mod.nf_quantize_fake(
+                    w, bits, 64, jnp.bfloat16, symmetric=symmetric
+                ).T
             fake["layers"].append(nl)
-        results[f"w{bits}_fake"] = ppl(fake)
+        return fake
+
+    # arms: asymmetric NF at every width (the reference's grids) plus the
+    # sign-symmetric 4-bit grid (our w4sym production layout)
+    for bits in (4, 3, 2):
+        q = llama.quantize_model(
+            params, num_bits=bits, group_size=64, symmetric=False
+        )
+        results[f"w{bits}_kernel"] = ppl(q)
+        results[f"w{bits}_fake"] = ppl(fake_model(bits))
         print(
             f"W{bits}: kernel {results[f'w{bits}_kernel']:.4f}  "
             f"fake {results[f'w{bits}_fake']:.4f}",
             flush=True,
         )
+
+    qs = llama.quantize_model(params, num_bits=4, group_size=64)  # default=sym
+    results["w4sym_kernel"] = ppl(qs)
+    results["w4sym_fake"] = ppl(fake_model(4, symmetric=True))
+    print(
+        f"W4sym: kernel {results['w4sym_kernel']:.4f}  "
+        f"fake {results['w4sym_fake']:.4f}",
+        flush=True,
+    )
 
     # NFL: learned scales on the most-degraded practical width (W3)
     calib = [
@@ -153,12 +189,21 @@ def main():
     eps = 1e-3 * results["dense"]
     assert results["dense"] <= results["w4_kernel"] + eps
     assert results["w4_kernel"] <= results["w3_kernel"] + eps
+    # the near-capacity proxy must RESOLVE the ladder, not just order it
+    assert results["w3_kernel"] > results["dense"] + eps, \
+        "proxy lacks statistical power: W3 == dense"
     assert results["w3_kernel"] < results["w2_kernel"], \
         "2-bit must measurably degrade the proxy model"
-    for b in (2, 3, 4):
-        agree = abs(results[f"w{b}_kernel"] - results[f"w{b}_fake"])
-        assert agree / results[f"w{b}_fake"] < 0.005, \
-            f"W{b} kernel/fake-quant PPL disagree"
+    for key in ("w2", "w3", "w4", "w4sym"):
+        agree = abs(results[f"{key}_kernel"] - results[f"{key}_fake"])
+        assert agree / results[f"{key}_fake"] < 0.005, \
+            f"{key} kernel/fake-quant PPL disagree"
+    # the production sign-symmetric grid must be quality-equivalent to
+    # asymmetric NF4 (within half the W3-W4 gap) — the evidence behind
+    # shipping w4sym as the 4-bit default
+    gap = max(results["w3_kernel"] - results["w4_kernel"], eps)
+    assert results["w4sym_kernel"] <= results["w4_kernel"] + 0.5 * gap, \
+        "sign-symmetric NF grid degrades quality vs asymmetric NF4"
     assert results["w3_nfl_kernel"] < results["w3_kernel"], \
         "NFL calibration failed to improve W3 PPL"
     print("ALL QUALITY-STRUCTURE CHECKS PASSED")

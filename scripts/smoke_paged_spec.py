@@ -14,13 +14,13 @@ import time
 
 import jax
 
-print("devices:", jax.devices())
-assert jax.default_backend() != "cpu", "this smoke must run on the TPU"
-
 from flute_tpu.models import llama
 from flute_tpu.serving.engine import Engine
 from flute_tpu.serving.paged import PagedEngine
 from flute_tpu.serving.paged_spec import PagedSpeculativeEngine
+
+print("devices:", jax.devices())
+assert jax.default_backend() == "tpu", "this smoke must run on the TPU"
 
 config = llama.LlamaConfig.tiny()
 params = llama.init_params(config, rng=0)
