@@ -284,6 +284,34 @@ def test_reference_to_servable_model(tmp_path):
     toks = eng.generate([[1, 2, 3]], max_new_tokens=3)
     assert len(toks[0]) == 3
 
+    # import-PPL round trip (r3 verdict #6): on the imported reference
+    # weights, full-model perplexity through the kernel must equal the
+    # perplexity of a dense twin carrying the dequantized values — the
+    # reference's fake-quant equivalence (tests/vllm.py:57-82) taken to
+    # PPL on a *migrated* checkpoint.
+    from flute_tpu import eval as ev
+    from flute_tpu.nn import QuantizedLinear
+
+    dense_twin = {k2: v for k2, v in qparams.items() if k2 != "layers"}
+    dense_twin["layers"] = []
+    for layer in qparams["layers"]:
+        nl = {}
+        for k2, v in layer.items():
+            nl[k2] = v.dequantize(jnp.bfloat16) if isinstance(
+                v, QuantizedLinear
+            ) else v
+        dense_twin["layers"].append(nl)
+    toks_eval = np.random.default_rng(7).integers(
+        0, config.vocab_size, 2048
+    ).astype(np.int32)
+    ppl_kernel = ev.perplexity(qparams, qconfig, toks_eval, seq_len=128,
+                               batch_size=4)
+    ppl_fake = ev.perplexity(dense_twin, qconfig, toks_eval, seq_len=128,
+                             batch_size=4)
+    assert abs(ppl_kernel - ppl_fake) / ppl_fake < 5e-3, (
+        ppl_kernel, ppl_fake
+    )
+
 
 def test_tables2_decode_and_higgs_vector_grid(tmp_path):
     """FLUTE-HIGGS ingestion: tables2 (f16 pairs bit-viewed as f32) decodes
