@@ -86,24 +86,31 @@ def run_stack(
     per_layer = {}
     roof = hbm_gbps()
     for name, n, k in LLAMA31_8B_LAYER:
+        # generate codes and pack ON DEVICE: the dev tunnel moves packed
+        # planes at single-digit MB/s — uploading ~100 MB of planes per
+        # stack would dominate the bench wall-clock
+        codes = jax.jit(
+            lambda key, _k=k, _n=n, _b=bits: jax.random.randint(
+                key, (_k, _n), 0, 2**_b, jnp.int32
+            )
+        )(jax.random.PRNGKey(0))
         if layout == "w4sym":
-            codes = rng.integers(0, 16, size=(k, n), dtype=np.int32)
-            raw = packing.pack_w4_sym_np(codes)
+            raw = jax.jit(packing.pack_w4_sym_jnp)(codes)
             mags = np.sort(np.abs(rng.standard_normal(8))).astype(np.float32)
             table = jnp.asarray(np.concatenate([mags, -mags]))
         elif layout == "w3wide":
-            codes = rng.integers(0, 8, size=(k, n), dtype=np.int32)
-            raw = packing.pack_w3_wide_np(codes)
+            raw = jax.jit(packing.pack_w3_wide_jnp)(codes)
             table = jnp.asarray(
                 np.sort(rng.standard_normal(8)), jnp.float32
             )
         else:
-            codes = rng.integers(0, 2**bits, size=(k, n), dtype=np.int32)
-            raw = packing.pack(codes, bits)
+            raw = jax.jit(
+                lambda c, _b=bits: packing.pack_jnp(c, _b)
+            )(codes)
             table = jnp.asarray(
                 np.sort(rng.standard_normal(2**bits)), jnp.float32
             )
-        planes = [jax.device_put(np.asarray(p)) for p in raw]
+        planes = [p.block_until_ready() for p in raw]
         scales = jnp.asarray(rng.uniform(0.5, 1.5, (k // group, n)), dtype)
         x = jnp.asarray(rng.standard_normal((m, k)), dtype)
 

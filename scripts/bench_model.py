@@ -21,12 +21,28 @@ from flute_tpu.quantize import nf
 
 def build_quantized_8b(
     bits: int, group: int, batch_hint: int, fuse: bool = True,
-    quantize_head: bool = False,
+    quantize_head: bool = False, symmetric: bool | None = None,
 ):
     """Layer-by-layer on-device random init + quantize + pack (dense weights
-    never all live at once)."""
+    never all live at once). 4-bit defaults to the sign-symmetric NF grid
+    on the w4sym fast layout (the production path; --no-sym opts out)."""
     c = llama.LlamaConfig.llama31_8b()
-    table = nf.nf_values(bits)
+    if symmetric is None:
+        symmetric = bits == 4
+    if symmetric:
+        if bits != 4:
+            raise ValueError("symmetric requires 4-bit")
+        v_asc = nf.nf_values_symmetric_exact(4)
+        table_sym_np, perm_np = packing.sym_code_order(v_asc)
+        table = jnp.asarray(table_sym_np)       # sym (code) order
+        quant_values = jnp.asarray(v_asc)       # ascending, for pivots
+        perm = jnp.asarray(perm_np, jnp.int32)
+        layout = "w4sym"
+    else:
+        table = nf.nf_values(bits)
+        quant_values = table
+        perm = None
+        layout = "auto"
     key = jax.random.PRNGKey(0)
 
     @jax.jit
@@ -35,9 +51,12 @@ def build_quantized_8b(
         wg = w_kn.astype(jnp.float32).reshape(k // group, group, n)
         absmax = jnp.max(jnp.abs(wg), axis=1)
         absmax = jnp.where(absmax == 0, 1.0, absmax)
-        pivots = nf.nf_pivots(table)
+        pivots = nf.nf_pivots(quant_values)
         codes = jnp.searchsorted(pivots, wg / absmax[:, None, :], side="left")
-        return codes.reshape(k, n).astype(jnp.int32), absmax.astype(jnp.bfloat16)
+        codes = codes.reshape(k, n).astype(jnp.int32)
+        if perm is not None:
+            codes = perm[codes]  # ascending -> sign-magnitude order
+        return codes, absmax.astype(jnp.bfloat16)
 
     def qlin(key, k_in, n_out, n_chunk=32768):
         # chunk along N: eager quantize+pack intermediates are ~8x the
@@ -49,7 +68,10 @@ def build_quantized_8b(
             w = jax.random.normal(sub, (k_in, nc), jnp.bfloat16) * 0.02
             codes, scales = quantize_kn(w)
             del w
-            if bits == 3:
+            if layout == "w4sym":
+                # sign-symmetric fast layout (r4 production default)
+                plane_parts.append(packing.pack_w4_sym_jnp(codes))
+            elif bits == 3:
                 # wide single-plane layout (r2 default; 69% roofline)
                 plane_parts.append(packing.pack_w3_wide_jnp(codes))
             else:
@@ -61,10 +83,13 @@ def build_quantized_8b(
             for j in range(len(plane_parts[0]))
         )
         scales = jnp.concatenate(scale_parts, axis=1)
-        cfg = get_kernel_config(batch_hint, n_out, k_in, bits, group)
+        cfg = get_kernel_config(
+            batch_hint, n_out, k_in, bits, group, layout=layout
+        )
         return QuantizedLinear(
             planes=planes, scales=scales, table=table,
             num_bits=bits, group_size=group, config_key=cfg.key(),
+            layout=layout,
         )
 
     qdim = c.num_heads * c.head_dim
@@ -122,6 +147,8 @@ def main():
     p.add_argument("--max-lens", type=str, default=None,
                    help="comma list; sweeps context lengths in one build")
     p.add_argument("--quantize-head", action="store_true")
+    p.add_argument("--no-sym", action="store_true",
+                   help="general asymmetric-NF W4 instead of w4sym")
     args = p.parse_args()
 
     batches = ([int(b) for b in args.batches.split(",")]
@@ -132,7 +159,8 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     t0 = time.time()
     config, params = build_quantized_8b(
-        args.bits, args.group, batches[0], quantize_head=args.quantize_head
+        args.bits, args.group, batches[0], quantize_head=args.quantize_head,
+        symmetric=False if args.no_sym else None,
     )
     jax.block_until_ready(params["embed"])
     print(f"8B quantize+pack on-device: {time.time() - t0:.1f}s", flush=True)

@@ -33,13 +33,24 @@ SHAPES = [
 ]
 
 
-def make_w4sym(n, k, g, seed=0):
+def make_w4sym(n, k, g, seed=0, on_device=True):
+    """Codes + packed planes. ``on_device`` generates and packs on the
+    chip — the dev tunnel moves ~4 MB/s, so uploading a 117 MB packed
+    plane takes ~half an hour; on-device PRNG + pack_w4_sym_jnp moves
+    nothing."""
     rng = np.random.default_rng(seed)
-    codes = rng.integers(0, 16, size=(k, n), dtype=np.int32)
-    planes = [jax.device_put(p) for p in packing.pack_w4_sym_np(codes)]
     mags = np.sort(np.abs(rng.standard_normal(8))).astype(np.float32)
     table = jnp.asarray(np.concatenate([mags, -mags]))
     scales = jnp.asarray(rng.uniform(0.5, 1.5, (k // g, n)), jnp.bfloat16)
+    if on_device:
+        codes = jax.jit(
+            lambda key: jax.random.randint(key, (k, n), 0, 16, jnp.int32)
+        )(jax.random.PRNGKey(seed))
+        planes = [p.block_until_ready()
+                  for p in jax.jit(packing.pack_w4_sym_jnp)(codes)]
+        return codes, planes, scales, table
+    codes = rng.integers(0, 16, size=(k, n), dtype=np.int32)
+    planes = [jax.device_put(p) for p in packing.pack_w4_sym_np(codes)]
     return codes, planes, scales, table
 
 
@@ -126,10 +137,14 @@ def main():
                     for _ in range(3))
             report(f"w4sym {cfg.key()} [compile {compile_s:.0f}s]", t, n, k, 4, m)
 
-        # general-W4 + W3-wide baselines on the same shape
+        # general-W4 + W3-wide baselines on the same shape (packed on
+        # device — see make_w4sym tunnel note)
         if args.no_baselines:
             continue
-        planes_g = [jax.device_put(p) for p in packing.pack_np(codes, 4)]
+        planes_g = [
+            p.block_until_ready()
+            for p in jax.jit(lambda c: packing.pack_jnp(c, 4))(codes)
+        ]
         tbl_g = jnp.asarray(np.sort(np.asarray(table)))
 
         def fg(x_):
@@ -141,8 +156,10 @@ def main():
                 for _ in range(3))
         report("W4 general (registry/default cfg)", t, n, k, 4, m)
 
-        codes3 = np.asarray(codes) & 7
-        planes3 = [jax.device_put(p) for p in packing.pack_w3_wide_np(codes3)]
+        planes3 = [
+            p.block_until_ready()
+            for p in jax.jit(lambda c: packing.pack_w3_wide_jnp(c & 7))(codes)
+        ]
         tbl3 = jnp.asarray(np.sort(np.random.default_rng(2).standard_normal(8)))
 
         def f3(x_):
