@@ -203,16 +203,27 @@ def quantize_linear(
             )
     else:
         table = jnp.asarray(table, jnp.float32)
-        if num_bits == 4 and packing.is_symmetric_table(
-            np.asarray(table), num_bits
-        ):
+        t_np = np.asarray(table)
+        if num_bits == 4 and packing.is_symmetric_table(t_np, num_bits):
             # sign-magnitude-ordered symmetric table: quantize via the
             # ascending view, map codes back, pack the fast layout
-            order = np.argsort(np.asarray(table))
+            order = np.argsort(t_np)
             _, codes_sorted, scales = nf.quantize_with_table(
                 w, table[jnp.asarray(order)], group_size, custom_scales
             )
             codes = jnp.asarray(order, jnp.int32)[codes_sorted]
+            layout = "w4sym"
+        elif num_bits == 4 and packing.is_ascending_symmetric_table(
+            t_np, num_bits
+        ):
+            # ascending symmetric table (e.g. learnable/NFL grids):
+            # reorder to sign-magnitude codes and take the fast layout
+            table_sym, perm = packing.sym_code_order(t_np)
+            _, codes_asc, scales = nf.quantize_with_table(
+                w, table, group_size, custom_scales
+            )
+            codes = jnp.asarray(perm, jnp.int32)[codes_asc]
+            table = jnp.asarray(table_sym)
             layout = "w4sym"
         else:
             _, codes, scales = nf.quantize_with_table(

@@ -432,6 +432,20 @@ def is_symmetric_table(table, num_bits: int) -> bool:
     return bool(np.all(hi == (lo ^ np.uint32(0x80000000))))
 
 
+def is_ascending_symmetric_table(table, num_bits: int) -> bool:
+    """True for an ascending table with ``v[i] == -v[2^b-1-i]`` exactly —
+    the other common presentation of a sign-symmetric grid (e.g. a
+    learnable/NFL table kept sorted for searchsorted). Convert with
+    :func:`sym_code_order` before packing w4sym."""
+    t = np.asarray(table, np.float32)
+    e = 2 ** num_bits
+    if t.shape[-1] != e or np.any(np.diff(t) < 0):
+        return False
+    a = t.view(np.uint32)
+    b = t[..., ::-1].copy().view(np.uint32)
+    return bool(np.all(a == (b ^ np.uint32(0x80000000))))
+
+
 def is_w3_wide(planes, num_bits: int, k: int) -> bool:
     """Detect the wide 3-bit layout from plane structure (single plane of
     3K/32 rows vs the classic 2-plane (2K/32, K/32) split)."""

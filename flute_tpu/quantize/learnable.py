@@ -80,12 +80,24 @@ def make_learnable(
     weight_in_out: jax.Array,
     num_bits: int = 4,
     group_size: int = 64,
+    symmetric: Optional[bool] = None,
 ) -> LearnableQuantizedLinear:
     """Wrap a dense ``[in, out]`` weight with absmax-initialized learnable
-    scales (reference init, learnable.py:27-35)."""
+    scales (reference init, learnable.py:27-35).
+
+    ``symmetric`` (default True for 4-bit) trains against the ascending
+    sign-symmetric NF grid so ``finalize`` lands on the w4sym fast layout
+    (quantize_linear recognizes ascending-symmetric tables)."""
     w = jnp.asarray(weight_in_out, jnp.float32)
     k, n = w.shape
-    table = nf.nf_values(num_bits, symmetric=False)
+    if symmetric is None:
+        symmetric = num_bits == 4
+    if symmetric:
+        if num_bits != 4:
+            raise ValueError("symmetric NF requires num_bits=4")
+        table = jnp.asarray(nf.nf_values_symmetric_exact(num_bits))
+    else:
+        table = nf.nf_values(num_bits, symmetric=False)
     absmax = jnp.max(jnp.abs(w.reshape(k // group_size, group_size, n)), axis=1)
     return LearnableQuantizedLinear(
         weight=w,

@@ -183,11 +183,34 @@ def test_bnb_convert_matches_reference_dequant(nested):
 def test_learnable_fake_quant_matches_nf_quantize():
     rng = np.random.default_rng(7)
     w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)  # [in, out]
-    layer = learnable.make_learnable(w, num_bits=4, group_size=64)
+    layer = learnable.make_learnable(
+        w, num_bits=4, group_size=64, symmetric=False
+    )
     fq = layer.fake_quantized_weight(jnp.float32)
     want, _, _, _ = nf.nf_quantize(w.T, 4, 64)  # quantizes along last axis
     np.testing.assert_allclose(
         np.asarray(fq), np.asarray(want).T, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_learnable_symmetric_default_finalizes_w4sym():
+    """4-bit learnable layers default to the ascending sign-symmetric grid
+    and finalize onto the w4sym fast layout with matching values."""
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)  # [in, out]
+    layer = learnable.make_learnable(w, num_bits=4, group_size=64)
+    fq = layer.fake_quantized_weight(jnp.float32)
+    want, _, _, _ = nf.nf_quantize_symmetric(w.T, 4, 64)
+    np.testing.assert_allclose(
+        np.asarray(fq), np.asarray(want).T, rtol=1e-5, atol=1e-5
+    )
+    q = learnable.finalize(layer)
+    assert q.layout == "w4sym"
+    # finalized dequant equals the learnable fake-quant (bf16-rounded)
+    fq16 = layer.fake_quantized_weight(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(q.dequantize(jnp.bfloat16), np.float32),
+        np.asarray(fq16, np.float32),
     )
 
 
