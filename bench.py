@@ -165,45 +165,67 @@ def print_stack(label, pct, tok_s, per_layer, roof):
     )
 
 
+def try_stack(out, label, *args, **kwargs):
+    """Run one stack; on failure record null and keep the bench alive.
+
+    Round-4 lesson: Mosaic on some chips rejects whole dtypes (v5e:
+    "Unsupported type in mosaic dialect: 'f16'"); one secondary stack
+    must never take down the headline JSON line."""
+    roof = hbm_gbps()
+    try:
+        pct, tok_s, per_layer = run_stack(*args, label=label, **kwargs)
+        print_stack(label, pct, tok_s, per_layer, roof)
+        return pct, tok_s
+    except Exception as e:  # noqa: BLE001 - report-and-continue by design
+        msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+        print(f"# {label} stack FAILED: {msg}", file=sys.stderr)
+        out.setdefault("errors", {})[label] = msg
+        return None, None
+
+
 def main():
     m = 8  # decode batch (tokens in flight)
     roof = hbm_gbps()
+    out = {
+        "metric": "llama31_8b_w4g64_decode_gemm_roofline",
+        "value": 0.0,
+        "unit": "%",
+        "vs_baseline": 0.0,
+    }
 
     # Production W4: sign-symmetric NF grid on the chainless w4sym layout.
-    pct, tok_s, per_layer = run_stack(4, layout="w4sym", m=m, label="W4sym")
-    print_stack("W4sym", pct, tok_s, per_layer, roof)
+    pct, tok_s = try_stack(out, "W4sym", 4, layout="w4sym", m=m)
+    if pct is not None:
+        out["value"] = round(pct, 2)
+        out["vs_baseline"] = round(pct / 85.0, 4)
+        out["w4_tok_s"] = round(tok_s, 1)
 
     # General arbitrary-table W4 (compat path: imported checkpoints with
     # asymmetric tables, e.g. QLoRA NF4 / bitsandbytes).
-    g_pct, g_tok_s, g_layers = run_stack(4, layout="plane", m=m, label="W4gen")
-    print_stack("W4gen", g_pct, g_tok_s, g_layers, roof)
+    g_pct, g_tok_s = try_stack(out, "W4gen", 4, layout="plane", m=m)
+    if g_pct is not None:
+        out["w4_general_pct"] = round(g_pct, 2)
+        out["w4_general_tok_s"] = round(g_tok_s, 1)
+        if pct is None:  # headline fallback if the sym path ever breaks
+            out["value"] = round(g_pct, 2)
+            out["vs_baseline"] = round(g_pct / 85.0, 4)
 
     # W3-wide: the 3-bit throughput point (docs/BENCH_NOTES.md).
-    w3_pct, w3_tok_s, w3_layers = run_stack(3, layout="w3wide", m=m, label="W3w")
-    print_stack("W3w", w3_pct, w3_tok_s, w3_layers, roof)
+    w3_pct, w3_tok_s = try_stack(out, "W3w", 3, layout="w3wide", m=m)
+    if w3_pct is not None:
+        out["w3_wide_pct"] = round(w3_pct, 2)
+        out["w3_wide_tok_s"] = round(w3_tok_s, 1)
 
     # f16 visibility (reference flagship dtype): w4sym stack at float16.
-    f16_pct, f16_tok_s, f16_layers = run_stack(
-        4, layout="w4sym", m=m, dtype=jnp.float16, label="W4sf16"
+    # Mosaic on v5e has no f16 vector type, so on TPU this rides the
+    # documented f32-compute fallback (ops/lut_gemm.lut_qgemm); if even
+    # that fails the stack is reported in errors.W4sf16 with a null pct.
+    f16_pct, _ = try_stack(
+        out, "W4sf16", 4, layout="w4sym", m=m, dtype=jnp.float16
     )
-    print_stack("W4sf16", f16_pct, f16_tok_s, f16_layers, roof)
+    out["w4sym_f16_pct"] = round(f16_pct, 2) if f16_pct is not None else None
 
-    print(
-        json.dumps(
-            {
-                "metric": "llama31_8b_w4g64_decode_gemm_roofline",
-                "value": round(pct, 2),
-                "unit": "%",
-                "vs_baseline": round(pct / 85.0, 4),
-                "w4_tok_s": round(tok_s, 1),
-                "w4_general_pct": round(g_pct, 2),
-                "w4_general_tok_s": round(g_tok_s, 1),
-                "w3_wide_pct": round(w3_pct, 2),
-                "w3_wide_tok_s": round(w3_tok_s, 1),
-                "w4sym_f16_pct": round(f16_pct, 2),
-            }
-        )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

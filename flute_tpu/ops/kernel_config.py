@@ -39,6 +39,10 @@ class DeviceProfile:
     bk_ladder_prefill: tuple[int, ...] = (1024, 512, 256)
     # VMEM working-set budget for the validity predicate (bytes)
     vmem_budget: int = 24 * 1024 * 1024
+    # whether Mosaic supports f16 vectors on this generation (v5e does
+    # not: "Unsupported type in mosaic dialect: 'f16'"); when False the
+    # compiled float16 path computes in f32 and rounds once at the end
+    mosaic_f16: bool = False
 
 
 _PROFILES = {

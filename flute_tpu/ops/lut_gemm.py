@@ -45,6 +45,7 @@ unnecessary on TPU (VMEM has no bank conflicts) and is dropped.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -89,6 +90,17 @@ def _hw_wrap_ok() -> bool:
     except Exception:
         return False
     return any(v in kind for v in _WRAP_VERIFIED_KINDS)
+
+
+@functools.lru_cache(maxsize=1)
+def _mosaic_f16_ok() -> bool:
+    """True when Mosaic on the attached device compiles f16 vectors
+    (v5e does not — BENCH_r04); override with FLUTE_TPU_F16_NATIVE=1."""
+    if os.environ.get("FLUTE_TPU_F16_NATIVE") == "1":
+        return True
+    from flute_tpu.ops.kernel_config import device_profile
+
+    return device_profile().mosaic_f16
 
 
 # ---------------------------------------------------------------------------
@@ -868,6 +880,28 @@ def lut_qgemm(
             f"table has {table.shape[-1]} entries, expected {2**num_bits}"
         )
 
+    if interpret is None:
+        interpret = _interpret_default()
+
+    if x.dtype == jnp.float16 and not interpret and not _mosaic_f16_ok():
+        # Mosaic on v5e has no f16 vector type (kernel_config.DeviceProfile
+        # .mosaic_f16): compute the compiled path in f32 — strictly tighter
+        # numerics than native f16 — and round the result once. The
+        # interpreter (CPU tests) still exercises true f16. Config is
+        # re-selected for f32 block/VMEM limits.
+        y = lut_qgemm(
+            x.astype(jnp.float32),
+            planes,
+            scales.astype(jnp.float32),
+            table,
+            num_bits=num_bits,
+            config=None,
+            pair_values=pair_values,
+            interpret=interpret,
+            layout=layout,
+        )
+        return y.astype(jnp.float16)
+
     if config is None:
         config = get_kernel_config(
             m, n, k, num_bits, group_size, dtype=x.dtype, layout=layout
@@ -878,8 +912,6 @@ def lut_qgemm(
         import dataclasses as _dc
 
         config = _dc.replace(config, lut_mode="pair_lut")
-    if interpret is None:
-        interpret = _interpret_default()
 
     x2 = x.reshape(m, k)
     m_pad = -(-m // config.block_m) * config.block_m

@@ -25,7 +25,11 @@ for bits in (2, 3, 4):
     w = jnp.asarray(rng.standard_normal((512, 1024)), jnp.float32)
     layer = flute_tpu.quantize_linear(w, num_bits=bits, group_size=64)
     deq = layer.dequantize(jnp.bfloat16)
-    recon = flute_tpu.reconstruct(list(layer.planes), layer.scales, layer.table, bits)
+    # 4-bit quantize_linear defaults to the w4sym layout, which shares the
+    # classic plane shape and so must be named explicitly (packing.py:326)
+    recon = flute_tpu.reconstruct(
+        list(layer.planes), layer.scales, layer.table, bits, layout=layer.layout
+    )
     assert np.array_equal(np.asarray(deq, np.float32), np.asarray(recon, np.float32)), bits
     x = jnp.asarray(rng.standard_normal((5, 1024)), jnp.bfloat16)
     y = np.asarray(layer(x), np.float32)

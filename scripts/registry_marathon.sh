@@ -14,18 +14,24 @@ STALL_SECS=${STALL_SECS:-720}   # no log growth for this long => wedged
 PASS_RETRIES=${PASS_RETRIES:-4} # consecutive wedges before moving on
 LOG=/tmp/tune_zoo_pass.log
 
-# Priority order: bf16 G64 decode (M=16) across widths first (the serving
-# fast path), then prefill M=256, then G128, then f16. Each pass is
-# resumable — already-registered entries are skipped.
+# Priority order: the bench stack at the bench M first (w4sym is the
+# production 4-bit layout), then bf16 G64 decode (M=16) across widths
+# (the serving fast path), then prefill M=256, then G128. No float16
+# pass: Mosaic on v5e rejects f16 vectors outright ("Unsupported type in
+# mosaic dialect: 'f16'", BENCH_r04) — f16 runs under interpret-mode
+# tests only. Each pass is resumable — already-registered entries are
+# skipped.
 PASSES=(
+  "--set bench --m 8 --bits 4s,3 --groups 64 --max-candidates 8 --iters 60"
+  "--set zoo --m 16 --bits 4s --groups 64 --max-candidates 6 --iters 40"
   "--set zoo --m 16 --bits 4 --groups 64 --max-candidates 6 --iters 40"
   "--set zoo --m 16 --bits 3 --groups 64 --max-candidates 6 --iters 40"
   "--set zoo --m 16 --bits 2 --groups 64 --max-candidates 6 --iters 40"
+  "--set zoo --m 256 --bits 4s --groups 64 --max-candidates 6 --iters 40"
   "--set zoo --m 256 --bits 4 --groups 64 --max-candidates 6 --iters 40"
-  "--set zoo --m 16 --bits 4 --groups 128 --max-candidates 5 --iters 40"
+  "--set zoo --m 16 --bits 4s,4 --groups 128 --max-candidates 5 --iters 40"
   "--set zoo --m 256 --bits 3 --groups 64 --max-candidates 5 --iters 40"
-  "--set zoo --m 16 --bits 4 --groups 64 --dtype float16 --max-candidates 5 --iters 40"
-  "--set zoo --m 1024 --bits 4 --groups 64 --max-candidates 5 --iters 40"
+  "--set zoo --m 1024 --bits 4s --groups 64 --max-candidates 5 --iters 40"
 )
 
 run_pass() {

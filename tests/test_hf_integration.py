@@ -167,10 +167,13 @@ def test_gemma2_config_and_mapping(tmp_path):
 
 
 @pytest.mark.slow
-def test_streaming_quantize_matches_in_memory(tmp_path):
+@pytest.mark.parametrize("num_bits", [4, 3])
+def test_streaming_quantize_matches_in_memory(tmp_path, num_bits):
     """quantize_hf_model_streaming must produce a checkpoint whose planes,
     scales and tables are identical to the in-memory quantize path, with
-    bounded buffering (the 70B enablement contract, VERDICT r1 item 2)."""
+    bounded buffering (the 70B enablement contract, VERDICT r1 item 2).
+    At 3 bits both paths must pack the wide single-plane production
+    layout (round-5 unification; previously streaming packed 2+1 planes)."""
     import dataclasses
 
     config = dataclasses.replace(
@@ -182,17 +185,23 @@ def test_streaming_quantize_matches_in_memory(tmp_path):
 
     out_mem = str(tmp_path / "qmem")
     out_str = str(tmp_path / "qstr")
-    hf.quantize_hf_model(src, out_mem, num_bits=4, group_size=64)
-    stats = hf.quantize_hf_model_streaming(src, out_str, num_bits=4, group_size=64)
+    hf.quantize_hf_model(src, out_mem, num_bits=num_bits, group_size=64)
+    stats = hf.quantize_hf_model_streaming(
+        src, out_str, num_bits=num_bits, group_size=64
+    )
     # unfused streaming flushes every projection on arrival
     assert stats["buffered_high_water"] <= 1
 
     pm, _, _ = hf.load_quantized_model(out_mem)
     ps, cfg, sidecar = hf.load_quantized_model(out_str)
-    assert sidecar["num_bits"] == 4
+    assert sidecar["num_bits"] == num_bits
     for li in range(config.num_layers):
         for key in ("q", "k", "v", "o", "gate", "up", "down"):
             a, b = pm["layers"][li][key], ps["layers"][li][key]
+            assert len(a.planes) == len(b.planes)
+            if num_bits == 3:
+                # wide layout = one plane (classic 3-bit packs 2+1)
+                assert len(b.planes) == 1
             for pa, pb in zip(a.planes, b.planes):
                 np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
             np.testing.assert_array_equal(

@@ -184,3 +184,32 @@ def test_accum_modes():
     assert e_hi < THRESHOLDS[jnp.dtype(dtype)]
     assert e_lo < 5e-2  # degraded but bounded
     assert e_lo >= e_hi  # low mode never beats f32 accumulation
+
+
+def test_f16_mosaic_fallback_routes_to_f32(monkeypatch):
+    """On TPU generations whose Mosaic dialect has no f16 vectors
+    (DeviceProfile.mosaic_f16=False, e.g. v5e), the compiled float16 path
+    must compute in f32 and round once: the 2d kernel entry sees f32
+    operands while the caller gets f16 back."""
+    bits, g, m, n, k = 4, 64, 3, 256, 512
+    x, codes, planes, scales, table = make_case(
+        m, n, k, bits, g, jnp.float16, seed=11
+    )
+    seen = {}
+
+    def fake_2d(x2, planes2, scales2, table2, pv, **kw):
+        seen["x_dtype"] = x2.dtype
+        seen["scales_dtype"] = scales2.dtype
+        return jnp.zeros((x2.shape[0], scales2.shape[1]), x2.dtype)
+
+    monkeypatch.setattr(lut_gemm, "_interpret_default", lambda: False)
+    lut_gemm._mosaic_f16_ok.cache_clear()
+    monkeypatch.setenv("FLUTE_TPU_F16_NATIVE", "0")
+    monkeypatch.setattr(lut_gemm, "_lut_qgemm_2d", fake_2d)
+    try:
+        y = lut_gemm.lut_qgemm(x, planes, scales, table, num_bits=bits)
+    finally:
+        lut_gemm._mosaic_f16_ok.cache_clear()
+    assert y.dtype == jnp.dtype(jnp.float16)
+    assert seen["x_dtype"] == jnp.dtype(jnp.float32)
+    assert seen["scales_dtype"] == jnp.dtype(jnp.float32)
