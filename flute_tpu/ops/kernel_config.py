@@ -135,6 +135,7 @@ def is_config_supported(
     k: int,
     num_bits: int,
     group_size: int,
+    dtype=None,
 ) -> bool:
     """Validity predicate (role of reference flute/utils.py:322-344).
 
@@ -166,12 +167,21 @@ def is_config_supported(
         rows = config.block_k * pb // 32
         if rows % 8 != 0 and config.block_k != k:
             return False
-    # Rough VMEM budget: double-buffered packed + x blocks, one dequantized
-    # block (bf16), one f32 accumulator. Cap calibrated on v5e (bn=4096 x
+    # Rough VMEM budget: double-buffered packed + x blocks, the dequant-path
+    # intermediates, one f32 accumulator. Cap calibrated on v5e (bn=4096 x
     # bk=2048 at W4 compiles and runs; see scripts/kernel_lab.py findings).
+    # 16-bit compute holds one merged [bk/2, bn] int32 payload (bitcast to
+    # deq for free); 32-bit compute builds even+odd [bk/2, bn] f32 tensors
+    # PLUS the row-interleaved copy — ~2x bk*bn*4 live (lut_gemm.py
+    # merge16=False path; bn=2048 x bk=2048 at f32 crashes the v5e Mosaic
+    # compiler while every half-size block compiles, measured round 5).
+    import numpy as np
+
+    itemsize = 2 if dtype is None else np.dtype(dtype).itemsize
     packed_bytes = config.block_k * config.block_n * num_bits // 8
-    deq_bytes = config.block_k * config.block_n * 2
-    x_bytes = config.block_m * config.block_k * 2
+    deq_factor = 1 if itemsize == 2 else 2
+    deq_bytes = deq_factor * config.block_k * config.block_n * itemsize
+    x_bytes = config.block_m * config.block_k * itemsize
     acc_bytes = config.block_m * config.block_n * 4
     vmem = 2 * (packed_bytes + x_bytes) + deq_bytes + acc_bytes
     return vmem < device_profile().vmem_budget
@@ -187,6 +197,7 @@ def get_candidate_configs(
     k: int,
     num_bits: int,
     group_size: int,
+    dtype=None,
 ) -> Iterator[KernelConfig]:
     """Enumerate plausible configs for a shape — the tuner's search space
     (role of the reference's template option grid,
@@ -215,7 +226,9 @@ def get_candidate_configs(
                 # §2.1 "Stream-K ... dissolves"; measured in
                 # docs/KERNEL_NOTES.md "split-K grids: no benefit").
                 cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk)
-                if is_config_supported(cfg, m, n, k, num_bits, group_size):
+                if is_config_supported(
+                    cfg, m, n, k, num_bits, group_size, dtype=dtype
+                ):
                     steps = (
                         max(1, _round_up(m, bm) // bm)
                         * (n // bn)
@@ -330,7 +343,7 @@ def get_kernel_config(
     for cand in bk_prefs:
         if k % cand == 0 and is_config_supported(
             KernelConfig(block_m=bm, block_n=bn, block_k=cand),
-            m, n, k, num_bits, group_size,
+            m, n, k, num_bits, group_size, dtype=dtype,
         ):
             bk = cand
             break
@@ -361,6 +374,13 @@ def get_kernel_config(
                 hit = _tune.lookup_packaged(
                     m, n, k, num_bits, group_size, layout=layout
                 )
+        # a hit tuned under a smaller compute dtype can exceed the VMEM
+        # model for this one (bf16-tuned bn2048/bk2048 crashes the f32
+        # pipeline); never return a registry entry the predicate rejects
+        if hit is not None and not is_config_supported(
+            hit, m, n, k, num_bits, group_size, dtype=dtype
+        ):
+            hit = None
         if hit is not None:
             if lut_override is not None and lut_override != hit.lut_mode:
                 hit = dataclasses.replace(hit, lut_mode=lut_override)
@@ -368,9 +388,9 @@ def get_kernel_config(
 
     lut_mode = lut_override or "gather8"
     cfg = KernelConfig(block_m=bm, block_n=bn, block_k=bk, lut_mode=lut_mode)
-    if not is_config_supported(cfg, m, n, k, num_bits, group_size):
+    if not is_config_supported(cfg, m, n, k, num_bits, group_size, dtype=dtype):
         # Fall back to the smallest legal config.
-        for cand in get_candidate_configs(m, n, k, num_bits, group_size):
+        for cand in get_candidate_configs(m, n, k, num_bits, group_size, dtype=dtype):
             return cand
         raise ValueError(
             f"No supported kernel config for M={m} N={n} K={k} "

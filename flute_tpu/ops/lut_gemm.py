@@ -887,15 +887,24 @@ def lut_qgemm(
         # Mosaic on v5e has no f16 vector type (kernel_config.DeviceProfile
         # .mosaic_f16): compute the compiled path in f32 — strictly tighter
         # numerics than native f16 — and round the result once. The
-        # interpreter (CPU tests) still exercises true f16. Config is
-        # re-selected for f32 block/VMEM limits.
+        # interpreter (CPU tests) still exercises true f16. An explicit
+        # config is kept only if it fits the f32 VMEM model (the 32-bit
+        # dequant path holds ~2x the intermediates, kernel_config.py);
+        # otherwise re-select for f32 block/VMEM limits.
+        from flute_tpu.ops.kernel_config import is_config_supported
+
+        cfg32 = config
+        if cfg32 is not None and not is_config_supported(
+            cfg32, m, n, k, num_bits, group_size, dtype=jnp.float32
+        ):
+            cfg32 = None
         y = lut_qgemm(
             x.astype(jnp.float32),
             planes,
             scales.astype(jnp.float32),
             table,
             num_bits=num_bits,
-            config=None,
+            config=cfg32,
             pair_values=pair_values,
             interpret=interpret,
             layout=layout,

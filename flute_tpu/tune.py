@@ -160,37 +160,53 @@ def tune_config(
         return _MEMO[key]
     if jax.default_backend() == "cpu":
         # Interpreter timings are meaningless; use the static heuristic.
-        cfg = get_kernel_config(m, n, k, num_bits, group_size)
+        cfg = get_kernel_config(m, n, k, num_bits, group_size, dtype=dtype)
         _MEMO[key] = cfg
         return cfg
 
     rng = np.random.default_rng(0)
-    codes = rng.integers(0, 2**num_bits, size=(k, n), dtype=np.int32)
+    # Generate codes/scales/x ON DEVICE and pack under jit: the dev tunnel
+    # moves arrays at single-digit MB/s, so host-packing + device_put of
+    # zoo-shape planes (~100 MB at N28672 K8192) would dominate every
+    # registry-marathon pass by an hour per shape.
+    kc, ks, kx = jax.random.split(jax.random.PRNGKey(0), 3)
+    codes = jax.jit(
+        lambda key: jax.random.randint(key, (k, n), 0, 2**num_bits, jnp.int32)
+    )(kc)
     # tune the layout production uses: 3-bit ships the wide single-plane
     # layout by default; 4-bit with layout="w4sym" ships the sign-symmetric
     # byte-field layout (nn.py quantize path; docs/KERNEL_NOTES.md)
     if layout == "w4sym":
-        raw = packing.pack_w4_sym_np(codes)
-    else:
-        raw = packing.pack(codes, num_bits, wide=(num_bits == 3))
-    planes = [jax.device_put(np.asarray(p)) for p in raw]
-    scales_np = rng.uniform(0.5, 1.5, (k // group_size, n)).astype(np.float32)
-    if layout == "w4sym":
+        raw = jax.jit(packing.pack_w4_sym_jnp)(codes)
         # sign-magnitude-ordered symmetric table (the layout contract)
         mags = np.sort(np.abs(rng.standard_normal(2 ** (num_bits - 1))))
         table_np = np.concatenate([mags, -mags]).astype(np.float32)
     else:
+        if num_bits == 3:
+            raw = jax.jit(packing.pack_w3_wide_jnp)(codes)
+        else:
+            raw = jax.jit(
+                lambda c, _b=num_bits: packing.pack_jnp(c, _b)
+            )(codes)
         table_np = np.sort(rng.standard_normal(2**num_bits)).astype(np.float32)
-    x_np = rng.standard_normal((m, k)).astype(np.float32)
-    scales = jnp.asarray(scales_np, dtype)
+    planes = [p.block_until_ready() for p in raw]
+    scales = jax.jit(
+        lambda key: jax.random.uniform(
+            key, (k // group_size, n), jnp.float32, 0.5, 1.5
+        ).astype(dtype)
+    )(ks)
     table = jnp.asarray(table_np, jnp.float32)
-    x = jnp.asarray(x_np, dtype)
+    x = jax.jit(
+        lambda key: jax.random.normal(key, (m, k), jnp.float32).astype(dtype)
+    )(kx)
 
-    candidates = list(get_candidate_configs(m, n, k, num_bits, group_size))
+    candidates = list(
+        get_candidate_configs(m, n, k, num_bits, group_size, dtype=dtype)
+    )
     # The enumeration order is the measured-heuristic ranking
     # (kernel_config.get_candidate_configs); keep the static default in the
     # pool even when the cap would cut it.
-    default = get_kernel_config(m, n, k, num_bits, group_size)
+    default = get_kernel_config(m, n, k, num_bits, group_size, dtype=dtype)
     candidates = candidates[:max_candidates]
     if default.key() not in {c.key() for c in candidates}:
         candidates.append(default)
@@ -241,13 +257,24 @@ def tune_config(
         return default
 
     if verify:
-        want = _host_oracle(x_np, codes, scales_np, table_np, dtype)
-        denom = max(float(np.abs(want).max()), 1e-6)
+        # On-device jnp oracle (same contract as verify_config): dequantize
+        # via plain XLA gather + matmul, entirely independent of the Pallas
+        # kernel under test, and only a scalar crosses the tunnel. The host
+        # numpy oracle (_host_oracle) stays for the test suite, where shapes
+        # are small enough to move.
         thr = 2.0 * RTOL[jnp.dtype(dtype).name]
 
+        @jax.jit
+        def _rel_err(got):
+            want = lut_gemm.lut_qgemm_reference(x, codes, scales, table)
+            denom = jnp.maximum(jnp.abs(want.astype(jnp.float32)).max(), 1e-6)
+            diff = jnp.abs(
+                got.astype(jnp.float32) - want.astype(jnp.float32)
+            ).max()
+            return diff / denom
+
         def _ok(cfg):
-            got = np.asarray(fns[cfg.key()](x), np.float32)
-            return float(np.abs(got - want).max()) / denom <= thr
+            return float(_rel_err(fns[cfg.key()](x))) <= thr
 
         best, _ = pick_verified(timed, _ok)
         if best is None:

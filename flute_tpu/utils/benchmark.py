@@ -24,6 +24,7 @@ def bench_op(
     iters: int = 200,
     reps: int = 3,
     warmup: bool = True,
+    min_window: float = 0.02,
 ) -> float:
     """Return seconds per execution of ``f(*args)`` measured device-side.
 
@@ -65,6 +66,16 @@ def bench_op(
     n2 = iters
     t1 = timed(n1)
     t2 = timed(n2)
+    # Tunnel RTT jitter is on the order of milliseconds; a slope window
+    # below it produces garbage (observed: 0.0 us "winners" poisoning the
+    # tuning registry, round 5). Grow the iteration count until the delta
+    # dominates the jitter — the traced loop bound means no recompiles.
+    grow = 0
+    while t2 - t1 < min_window and grow < 7:
+        n1, t1 = n2, t2
+        n2 *= 4
+        t2 = timed(n2)
+        grow += 1
     return max(t2 - t1, 1e-12) / (n2 - n1)
 
 
