@@ -9,6 +9,10 @@
 # Usage: setsid nohup bash scripts/registry_marathon.sh > /tmp/marathon.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
+# the repo is not pip-installed and nohup environments may lack both the
+# repo root and the axon PJRT plugin path (required for the TPU tunnel)
+export PYTHONPATH="$(pwd):/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/flute_tpu_jaxcache}
 
 STALL_SECS=${STALL_SECS:-720}   # no log growth for this long => wedged
 PASS_RETRIES=${PASS_RETRIES:-4} # consecutive wedges before moving on
