@@ -47,6 +47,49 @@ _GEMMA2_LAYER_KEYS = {
 }
 
 
+def resolve_model_path(
+    path_or_repo: str,
+    *,
+    revision: Optional[str] = None,
+    cache_dir: Optional[str] = None,
+    allow_patterns: Optional[list] = None,
+) -> str:
+    """Resolve a local directory or an HF-hub repo id to a local directory.
+
+    The reference pulls its quantization sidecar from the hub when the
+    model id is remote (flute/integrations/huggingface.py:327-357); the
+    TPU port accepts hub repo ids on every loader entry point and
+    snapshots them through ``huggingface_hub`` (already a transformers
+    dependency). Local paths are returned untouched, so fully-offline
+    deployments never import or touch the hub.
+    """
+    if os.path.isdir(path_or_repo):
+        return path_or_repo
+    looks_remote = (
+        "/" in path_or_repo
+        and not os.path.isabs(path_or_repo)
+        and not path_or_repo.startswith(".")
+    )
+    if not looks_remote:
+        raise FileNotFoundError(
+            f"{path_or_repo!r} is neither a local directory nor an HF-hub "
+            "repo id (expected 'org/name')"
+        )
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:  # pragma: no cover - hub ships with transformers
+        raise ImportError(
+            f"loading {path_or_repo!r} from the HF hub requires "
+            "huggingface_hub"
+        ) from e
+    return snapshot_download(
+        repo_id=path_or_repo,
+        revision=revision,
+        cache_dir=cache_dir,
+        allow_patterns=allow_patterns,
+    )
+
+
 def _open_safetensor_shards(model_dir: str):
     from safetensors import safe_open
 
@@ -136,7 +179,9 @@ def _to_jnp(arr: np.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 def load_hf_params(model_dir: str, config=None, dtype=jnp.bfloat16) -> dict:
     """Read an HF Llama/Gemma-2 safetensors checkpoint into the flute-tpu
-    params pytree (linear leaves transposed to [in, out])."""
+    params pytree (linear leaves transposed to [in, out]). ``model_dir``
+    may be a local directory or an HF-hub repo id."""
+    model_dir = resolve_model_path(model_dir)
     mtype = model_type_of(model_dir)
     config = config or config_from_hf(model_dir)
     key_map = _GEMMA2_LAYER_KEYS if mtype == "gemma2" else _LLAMA_LAYER_KEYS
@@ -179,7 +224,9 @@ def quantize_hf_model(
 ) -> None:
     """Load → NF-quantize → save with sidecar (reference quantize_hf_model,
     base.py:329-367). ``fake=True`` saves the fake-quantized dense model
-    instead (the reference's testing mode, base.py:85-102)."""
+    instead (the reference's testing mode, base.py:85-102). ``model_dir``
+    may be a local directory or an HF-hub repo id."""
+    model_dir = resolve_model_path(model_dir)
     config = config_from_hf(model_dir)
     params = load_hf_params(model_dir, config, dtype)
     if fake:
@@ -239,6 +286,7 @@ def quantize_hf_model_streaming(
     from flute_tpu.ops.kernel_config import get_kernel_config
     from flute_tpu.quantize import nf
 
+    model_dir = resolve_model_path(model_dir)
     mtype = model_type_of(model_dir)
     key_map = _GEMMA2_LAYER_KEYS if mtype == "gemma2" else _LLAMA_LAYER_KEYS
     writer = ckpt_io.StreamingWriter(output_dir)
@@ -391,7 +439,11 @@ def load_quantized_model(
 
     With ``retune=True``, re-tunes each layer's kernel config for
     ``batch_size`` on the current device (reference repack-on-load flow,
-    huggingface.py:173-236 — here a pure metadata update)."""
+    huggingface.py:173-236 — here a pure metadata update). ``path`` may be
+    a local directory or an HF-hub repo id holding a flute-tpu checkpoint
+    (the reference resolves its hub sidecar the same way,
+    huggingface.py:327-357)."""
+    path = resolve_model_path(path)
     params, sidecar = ckpt_io.load_quantized(path)
     hf_config_path = os.path.join(path, "config.json")
     config = config_from_hf(path) if os.path.exists(hf_config_path) else None

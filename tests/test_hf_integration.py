@@ -317,3 +317,53 @@ def test_streaming_quantize_gemma2(tmp_path):
     cache = gemma2.init_cache(qcfg, 1, 8)
     logits, _ = gemma2.forward(qparams, qcfg, tokens, cache, jnp.int32(0))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_resolve_model_path_local_dir_untouched(tmp_path):
+    """A local directory passes through without any hub machinery."""
+    d = str(tmp_path / "local")
+    os.makedirs(d)
+    assert hf.resolve_model_path(d) == d
+
+
+def test_resolve_model_path_rejects_nonsense():
+    with pytest.raises(FileNotFoundError):
+        hf.resolve_model_path("/no/such/directory")
+    with pytest.raises(FileNotFoundError):
+        hf.resolve_model_path("not-a-repo-id")
+
+
+def test_load_quantized_model_from_hub_repo_id(tmp_path, monkeypatch):
+    """A hub repo id resolves through snapshot_download and then loads like
+    a local checkpoint (reference pulls its hub sidecar the same way,
+    flute/integrations/huggingface.py:327-357). The hub call is stubbed —
+    this environment has no egress — but the full loader path downstream
+    of resolution is real."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        llama.LlamaConfig.tiny(), rope_scaling_factor=None
+    )
+    params = llama.init_params(config, rng=0)
+    src = str(tmp_path / "hf")
+    out = str(tmp_path / "quant")
+    _write_llama_ckpt(src, config, params)
+    hf.quantize_hf_model(src, out, num_bits=4, group_size=64)
+
+    calls = {}
+
+    def fake_snapshot_download(repo_id, revision=None, cache_dir=None,
+                               allow_patterns=None):
+        calls["repo_id"] = repo_id
+        calls["revision"] = revision
+        return out
+
+    import huggingface_hub
+
+    monkeypatch.setattr(
+        huggingface_hub, "snapshot_download", fake_snapshot_download
+    )
+    qparams, qconfig, sidecar = hf.load_quantized_model("acme/tiny-w4")
+    assert calls["repo_id"] == "acme/tiny-w4"
+    assert sidecar["num_bits"] == 4
+    assert qconfig.hidden_size == config.hidden_size
