@@ -56,6 +56,18 @@ def main():
     m, g = args.m, args.g
     rng = np.random.default_rng(0)
 
+    # Harness floor: bench_op's serialization tap (a 1-element gather off
+    # the output + a carry update over x) costs real device time per
+    # iteration. If this floor is µs-scale it inflates every small-shape
+    # measurement — the o/qkv "ramp" may partly be measurement harness.
+    xf = jnp.asarray(rng.standard_normal((args.m, 4096)), jnp.bfloat16)
+    t_tap = min(
+        bench_op(lambda x_: x_ * jnp.float32(1.0).astype(x_.dtype),
+                 xf, iters=args.iters)
+        for _ in range(3)
+    )
+    print(f"harness tap floor (elementwise on x): {t_tap * 1e6:.2f} us")
+
     for name in args.shapes.split(","):
         n, k = SHAPES[name]
         _codes, planes, scales, table = make_w4sym(n, k, g)
