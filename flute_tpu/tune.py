@@ -245,13 +245,19 @@ def tune_config(
     if len(timed) > 1:
         timed.sort(key=lambda p: p[0])
         refined = []
-        for t_scr, cfg in timed[:3]:
+        for ri, (t_scr, cfg) in enumerate(timed[:3]):
+            if verbose:
+                # keep the log growing: the registry-marathon watchdog
+                # kills on silence, and refine+verify can take minutes
+                print(f"    refine {ri + 1}/3 {cfg.key()} ...", flush=True)
             f = fns[cfg.key()]
             try:
                 t = min(bench_op(f, x, iters=2 * iters) for _ in range(2))
             except Exception:
                 t = t_scr
             refined.append((t, cfg))
+            if verbose:
+                print(f"      {t * 1e6:9.1f} us", flush=True)
         timed = refined + timed[3:]
 
     if not timed:
@@ -276,7 +282,12 @@ def tune_config(
             return diff / denom
 
         def _ok(cfg):
-            return float(_rel_err(fns[cfg.key()](x))) <= thr
+            if verbose:
+                print(f"    verify {cfg.key()} ...", flush=True)
+            ok = float(_rel_err(fns[cfg.key()](x))) <= thr
+            if verbose:
+                print(f"      {'pass' if ok else 'FAIL'}", flush=True)
+            return ok
 
         best, _ = pick_verified(timed, _ok)
         if best is None:
