@@ -29,7 +29,10 @@ def test_quantized_matches_fake_quant(tiny):
         nl = dict(layer)
         for key in ("q", "k", "v", "o", "gate", "up", "down"):
             w = jnp.asarray(layer[key]).T
-            nl[key] = nf.nf_quantize_fake(w, 4, 64, jnp.bfloat16).T
+            # production 4-bit uses the sign-symmetric NF grid (w4sym)
+            nl[key] = nf.nf_quantize_fake(
+                w, 4, 64, jnp.bfloat16, symmetric=True
+            ).T
         fparams["layers"].append(nl)
 
     tokens = jnp.asarray(np.random.default_rng(1).integers(0, 100, (2, 6)), jnp.int32)
