@@ -18,6 +18,7 @@ def _case(k=256, n=256, bits=4, g=64):
     return x, planes, scales, table
 
 
+@pytest.mark.slow
 def test_wrong_plane_count_rejected():
     x, planes, scales, table = _case(bits=4)
     with pytest.raises(ValueError, match="plane"):

@@ -10,8 +10,10 @@ import numpy as np
 from flute_tpu.integrations import checkpoint as ckpt_io
 from flute_tpu.models import llama
 from flute_tpu.nn import QuantizedLinear
+import pytest
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path):
     config = llama.LlamaConfig.tiny()
     params = llama.init_params(config, rng=0)

@@ -24,6 +24,7 @@ def hf_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_cli_quantize_and_generate(hf_dir, tmp_path, capsys):
     out = str(tmp_path / "q")
     cli.main([
@@ -41,6 +42,7 @@ def test_cli_quantize_and_generate(hf_dir, tmp_path, capsys):
     assert toks is not None and len(toks) == 3
 
 
+@pytest.mark.slow
 def test_cli_calibrate(hf_dir, tmp_path):
     toks = np.random.default_rng(0).integers(0, 100, 4096).astype(np.int32)
     tok_path = str(tmp_path / "toks.npy")

@@ -257,6 +257,7 @@ def test_prefix_block_store_and_lookup_unit():
     assert tuple(prompt[:8]) not in eng._prefix_store
 
 
+@pytest.mark.slow
 def test_stop_token_ids_truncate(tiny_q):
     """Per-request stop_token_ids (vLLM SamplingParams parity): the
     stream truncates just before the first stop token; other requests in
@@ -282,6 +283,7 @@ def test_stop_token_ids_truncate(tiny_q):
     assert out[r2] == full2
 
 
+@pytest.mark.slow
 def test_logprobs_recorded(tiny_q):
     """Per-token logprobs (OpenAI/vLLM "logprobs"): recorded parallel to
     the output, finite and <= 0, deterministic across runs, and identical
@@ -308,6 +310,7 @@ def test_logprobs_recorded(tiny_q):
     np.testing.assert_allclose(lp3, lp1, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_penalties(tiny_q):
     """vLLM-parity penalties: defaults are an exact no-op (identical
     stream and logprobs), repetition_penalty eliminates the tiny model's

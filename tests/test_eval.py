@@ -7,6 +7,7 @@ from flute_tpu import eval as fte
 from flute_tpu.models import llama
 
 
+@pytest.mark.slow
 def test_perplexity_runs_and_quantization_is_close():
     config = llama.LlamaConfig.tiny()
     params = llama.init_params(config, rng=0)
@@ -22,6 +23,7 @@ def test_perplexity_runs_and_quantization_is_close():
     assert abs(ppl_q - ppl_dense) / ppl_dense < 0.05
 
 
+@pytest.mark.slow
 def test_perplexity_batched_matches_unbatched():
     config = llama.LlamaConfig.tiny()
     params = llama.init_params(config, rng=1)

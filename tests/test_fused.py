@@ -17,6 +17,7 @@ def tiny():
     return config, params
 
 
+@pytest.mark.slow
 def test_fused_matches_unfused(tiny):
     config, params = tiny
     q_unfused = llama.quantize_model(params, 4, 64, chunk=128)

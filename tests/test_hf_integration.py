@@ -60,6 +60,7 @@ def _write_llama_ckpt(path, config: llama.LlamaConfig, params):
     save_file(tensors, os.path.join(path, "model.safetensors"))
 
 
+@pytest.mark.slow
 def test_llama_hf_roundtrip(tmp_path):
     config = llama.LlamaConfig.tiny()
     # rope scaling off to match the serialized config

@@ -129,6 +129,7 @@ def tiny_q():
     return config, llama.quantize_model(params, num_bits=4, group_size=64)
 
 
+@pytest.mark.slow
 def test_paged_engine_matches_dense_engine(tiny_q):
     """Greedy outputs through the paged pool equal the dense-cache Engine
     (same model, same prompts) and all blocks return to the free list."""
@@ -374,6 +375,7 @@ def test_paged_chunked_prefill_matches_unchunked(tiny_q):
     assert eng.blocks_in_use == 0
 
 
+@pytest.mark.slow
 def test_pool_prefill_matches_dense_scratch(tiny_q):
     """pool_prefill=True (prompt chunks written straight into pool blocks,
     attention via the fused multi-query kernel, no scratch/splice/scatter)

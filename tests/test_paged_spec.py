@@ -40,6 +40,7 @@ def _greedy_oracle(config, qparams, prompts, n):
     return eng.generate(prompts, max_new_tokens=n)
 
 
+@pytest.mark.slow
 def test_self_draft_matches_greedy_with_bonus(tiny_pair):
     """Draft == target: output equals plain greedy decode, every round
     fully accepts, so tokens arrive k+1 per round (bonus flowing) and all

@@ -47,6 +47,7 @@ def test_health(server):
         assert json.loads(r.read())["status"] == "ok"
 
 
+@pytest.mark.slow
 def test_single_completion(server):
     code, out = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4})
     assert code == 200
@@ -280,6 +281,7 @@ def test_openai_schema(server):
     assert chunks[-1]["choices"][0]["finish_reason"] == "length"
 
 
+@pytest.mark.slow
 def test_chat_completions():
     """/v1/chat/completions renders messages through the tokenizer's chat
     template and answers in the OpenAI chat schema (object + SSE chunk
