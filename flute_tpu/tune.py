@@ -129,7 +129,15 @@ def pick_verified(
         try:
             if verify_fn(cfg):
                 return cfg, t
-        except Exception:
+        except Exception as e:
+            # verification of one candidate must not kill the sweep, but a
+            # silent swallow hides systematic failures (e.g. a transient
+            # chip error failing every candidate) — surface one line
+            print(
+                f"    verify {cfg.key()} raised: "
+                f"{(str(e).splitlines() or [type(e).__name__])[0][:120]}",
+                flush=True,
+            )
             continue
     return None, float("inf")
 
@@ -272,9 +280,13 @@ def tune_config(
         # are small enough to move.
         thr = 2.0 * RTOL[jnp.dtype(dtype).name]
 
+        # Operands MUST be jit arguments, not closures: a closed-over
+        # device array is embedded in the compiled program as a constant,
+        # and zoo-size codes (~0.5 GB at N28672) blow the remote-compile
+        # request limit (HTTP 413, round 5).
         @jax.jit
-        def _rel_err(got):
-            want = lut_gemm.lut_qgemm_reference(x, codes, scales, table)
+        def _rel_err(got, x_, codes_, scales_, table_):
+            want = lut_gemm.lut_qgemm_reference(x_, codes_, scales_, table_)
             denom = jnp.maximum(jnp.abs(want.astype(jnp.float32)).max(), 1e-6)
             diff = jnp.abs(
                 got.astype(jnp.float32) - want.astype(jnp.float32)
@@ -284,7 +296,9 @@ def tune_config(
         def _ok(cfg):
             if verbose:
                 print(f"    verify {cfg.key()} ...", flush=True)
-            ok = float(_rel_err(fns[cfg.key()](x))) <= thr
+            ok = float(
+                _rel_err(fns[cfg.key()](x), x, codes, scales, table)
+            ) <= thr
             if verbose:
                 print(f"      {'pass' if ok else 'FAIL'}", flush=True)
             return ok
