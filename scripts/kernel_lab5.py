@@ -100,7 +100,12 @@ def main():
                 )
 
             row = f"  {c.key():38s}"
-            for tag, f in (("qgemm", fq), ("floor", ff)):
+            variants = [("qgemm", fq)]
+            if c.block_m <= m:
+                # run_floor does not pad x to block_m (lut_qgemm does);
+                # bm > m would give an empty grid and a bogus ~1 us reading
+                variants.append(("floor", ff))
+            for tag, f in variants:
                 try:
                     t = min(bench_op(f, x, iters=args.iters) for _ in range(2))
                     row += f"  {tag} {t * 1e6:7.1f} us ({100 * ideal / t:5.1f}%)"
