@@ -39,6 +39,10 @@ class DeviceProfile:
     bk_ladder_prefill: tuple[int, ...] = (1024, 512, 256)
     # VMEM working-set budget for the validity predicate (bytes)
     vmem_budget: int = 24 * 1024 * 1024
+    # tighter budget for 32-bit compute: Mosaic's scoped-vmem stack limit
+    # is 16 MB on v5e and the f32 dequant intermediates land there
+    # ("Ran out of memory in memory space vmem ... limit 16.00M", round 5)
+    vmem_budget_32: int = 14 * 1024 * 1024
     # whether Mosaic supports f16 vectors on this generation (v5e does
     # not: "Unsupported type in mosaic dialect: 'f16'"); when False the
     # compiled float16 path computes in f32 and rounds once at the end
@@ -184,7 +188,9 @@ def is_config_supported(
     x_bytes = config.block_m * config.block_k * itemsize
     acc_bytes = config.block_m * config.block_n * 4
     vmem = 2 * (packed_bytes + x_bytes) + deq_bytes + acc_bytes
-    return vmem < device_profile().vmem_budget
+    prof = device_profile()
+    budget = prof.vmem_budget if itemsize == 2 else prof.vmem_budget_32
+    return vmem < budget
 
 
 def _block_divisors(dim: int, align: int, lo: int, hi: int) -> list[int]:

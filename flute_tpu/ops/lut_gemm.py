@@ -154,7 +154,10 @@ def lut_qgemm_reference(
     """Pure-XLA ground truth (role of reference tests/kernel.py:68-71)."""
     ct = x.dtype
     deq = dequantize_codes(codes, scales, table, ct)
-    y = jnp.dot(x, deq, preferred_element_type=jnp.float32)
+    # the TPU MXU computes f32 dots through bf16 passes at default
+    # precision — an oracle must not round what the kernel keeps exact
+    prec = lax.Precision.HIGHEST if jnp.dtype(ct).itemsize == 4 else None
+    y = jnp.dot(x, deq, preferred_element_type=jnp.float32, precision=prec)
     return y.astype(ct)
 
 
@@ -331,12 +334,6 @@ def _expand_scales(s: jnp.ndarray, rows_per_group: int, rows: int) -> jnp.ndarra
     return jnp.concatenate(pieces, axis=0)
 
 
-def _interleave_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """[P, N] x2 -> [2P, N] with rows (a0, b0, a1, b1, ...)."""
-    p, n = a.shape
-    return jnp.stack([a, b], axis=1).reshape(2 * p, n)
-
-
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -468,22 +465,32 @@ def _lut_qgemm_kernel(
     group_acc: bool,
     layout: str = "plane",
 ):
-    x_ref = refs[0]
-    plane_refs = refs[1:1 + num_planes]
-    s_ref = refs[1 + num_planes]
-    t_ref = refs[2 + num_planes]
-    o_ref = refs[3 + num_planes]
-    acc_ref = refs[4 + num_planes]
-
     k_index = pl.program_id(2)
     nk = pl.num_programs(2)
     bk = config.block_k
     is16 = jnp.dtype(out_dtype).itemsize == 2
+    # 32-bit compute streams x pre-split into even/odd K columns so the
+    # (even, odd) dequant halves are used directly — row-interleaving a
+    # [bk, bn] f32 block in-kernel costs sublane shuffles over the whole
+    # weight tile (measured ~10x on the f16->f32 fallback, round 5).
+    split_x = not is16
+    if split_x:
+        xe_ref, xo_ref = refs[0], refs[1]
+        rest = refs[2:]
+    else:
+        x_ref = refs[0]
+        rest = refs[1:]
+    plane_refs = rest[:num_planes]
+    s_ref = rest[num_planes]
+    t_ref = rest[1 + num_planes]
+    o_ref = rest[2 + num_planes]
+    acc_ref = rest[3 + num_planes]
 
     @pl.when(k_index == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    ve = vo = None  # (even, odd) dequant halves, 32-bit compute only
     if layout == "w3wide":
         if is16:
             payload32 = _unpack_wide3_payload(
@@ -495,9 +502,8 @@ def _lut_qgemm_kernel(
                 plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap,
                 merge16=False,
             )
-            deq = _interleave_rows(
-                pltpu.bitcast(ve_b, out_dtype), pltpu.bitcast(vo_b, out_dtype)
-            )
+            ve = pltpu.bitcast(ve_b, out_dtype)
+            vo = pltpu.bitcast(vo_b, out_dtype)
         ce = co = None
     elif layout == "w4sym":
         if is16:
@@ -510,9 +516,8 @@ def _lut_qgemm_kernel(
                 plane_refs[0][:], t_ref[:], bk, config.chunk, bn, wrap,
                 merge16=False,
             )
-            deq = _interleave_rows(
-                pltpu.bitcast(ve_b, out_dtype), pltpu.bitcast(vo_b, out_dtype)
-            )
+            ve = pltpu.bitcast(ve_b, out_dtype)
+            vo = pltpu.bitcast(vo_b, out_dtype)
         ce = co = None
     else:
         ce, co = _unpack_pair_fields(
@@ -549,21 +554,45 @@ def _lut_qgemm_kernel(
             payload32 = ve_bits | vo_bits
             deq = pltpu.bitcast(payload32, out_dtype)  # [bk, bn]
         else:
-            # 32-bit compute: bit patterns are full f32 words; interleave
-            # explicitly (compat path — the flagship dtypes are bf16/f16,
-            # matching the reference's supported dtypes, README.md:233).
+            # 32-bit compute: bit patterns are full f32 words; keep the
+            # (even, odd) halves and split the dot instead of interleaving
+            # (compat path — the flagship dtypes are bf16/f16, matching the
+            # reference's supported dtypes, README.md:233).
             ve = pltpu.bitcast(ve_bits, out_dtype)
             vo = pltpu.bitcast(vo_bits, out_dtype)
-            deq = _interleave_rows(ve, vo)
 
     acc_dt = acc_ref.dtype
-    if group_acc:
+    g = group_size
+    # The MXU multiplies f32 operands through bf16 passes; at default
+    # precision a 32-bit-compute dot silently rounds every weight to bf16
+    # (caught on-chip by the identity oracle, round 5). HIGHEST recovers
+    # full f32 products (Mosaic supports only DEFAULT/HIGHEST in-kernel);
+    # 16-bit compute is MXU-native.
+    prec = None if is16 else lax.Precision.HIGHEST
+    if group_acc and split_x:
+        # y = x_even @ v_even + x_odd @ v_odd — no interleave anywhere.
+        # Identity stays bit-exact: with x = I each output element has
+        # exactly one nonzero contribution, so the split changes no sums.
+        h = g // 2
+        for gi in range(bk // g):
+            part = jnp.dot(
+                xe_ref[:, gi * h:(gi + 1) * h],
+                ve[gi * h:(gi + 1) * h],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ) + jnp.dot(
+                xo_ref[:, gi * h:(gi + 1) * h],
+                vo[gi * h:(gi + 1) * h],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            acc_ref[:] += (part * s_ref[gi, :][None, :].astype(jnp.float32)).astype(acc_dt)
+    elif group_acc:
         # Decode path: apply group scales to the [bm, bn] partial products
         # instead of the [bk, bn] dequantized weights — group_size/bm times
         # fewer scale multiplies (measured ~25% faster at M=16 on v5e).
         # Identity-input bit-exactness is preserved: the f32 partial times
         # the bf16 scale rounds identically to the bf16 (value * scale).
-        g = group_size
         for gi in range(bk // g):
             part = jnp.dot(
                 x_ref[:, gi * g:(gi + 1) * g],
@@ -571,6 +600,14 @@ def _lut_qgemm_kernel(
                 preferred_element_type=jnp.float32,
             )
             acc_ref[:] += (part * s_ref[gi, :][None, :].astype(jnp.float32)).astype(acc_dt)
+    elif split_x:
+        s_half = _expand_scales(s_ref[:], g // 2, bk // 2)
+        acc_ref[:] += (
+            jnp.dot(xe_ref[:], ve * s_half,
+                    preferred_element_type=jnp.float32, precision=prec)
+            + jnp.dot(xo_ref[:], vo * s_half,
+                      preferred_element_type=jnp.float32, precision=prec)
+        ).astype(acc_dt)
     else:
         s_exp = _expand_scales(s_ref[:], group_size, bk)
         w = deq * s_exp
@@ -718,9 +755,26 @@ def _lut_qgemm_2d(
             raise ValueError("pair_values requires lut_mode='pair_lut'")
         tile = _table_tile_scalar(table, ct, num_entries)
 
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-    ]
+    split_x = jnp.dtype(ct).itemsize != 2
+    if split_x:
+        # 32-bit compute: ship x de-interleaved (even/odd K columns) so the
+        # kernel never row-interleaves the [bk, bn] dequant block — the XLA
+        # strided slice on the small [m, k] activation is ~free.
+        x_inputs = (x[:, 0::2], x[:, 1::2])
+        in_specs = [
+            pl.BlockSpec(
+                (bm, bk // 2), lambda i, j, kk: (i, kk),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(2)
+        ]
+    else:
+        x_inputs = (x,)
+        in_specs = [
+            pl.BlockSpec(
+                (bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM
+            ),
+        ]
     for pb in plane_bits:
         rows = bk * pb // bitutils.WORD_BITS
         in_specs.append(
@@ -794,7 +848,7 @@ def _lut_qgemm_2d(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(x, *planes, scales, tile)
+    )(*x_inputs, *planes, scales, tile)
 
 
 def lut_qgemm(
