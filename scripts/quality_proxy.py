@@ -38,25 +38,37 @@ def make_corpus(vocab: int, n_tokens: int, seed: int):
     """Order-2 Markov chain: the successor distribution depends on the
     last TWO tokens (4 sparse successors, skewed probs, 3% uniform noise).
     The transition table is FIXED (seed 1234) — train and eval draw
-    different trajectories from the same chain. Order-2 over vocab^2
-    contexts is far beyond what a hidden-512 model can memorize, keeping
-    it under-parameterized relative to the task."""
+    different trajectories from the same chain.
+
+    Design lessons (round 5, both measured on-chip): (a) at vocab 1024
+    the 1M random contexts see ~0.2 training samples each — nothing is
+    learnable and the model sits at the uniform distribution, so any
+    quantization ladder measured there is noise; (b) a PURE order-2 table
+    has no order-1 signal at all (the marginal p(next | t-1) averages to
+    ~uniform), so gradient descent has no foothold and never leaves
+    uniform either. The corpus therefore mixes a learnable order-1 chain
+    (the foothold, 50%) with order-2 structure (the hard memorization
+    tail, 47%) and 3% uniform noise; the model learns the first quickly,
+    grinds the second near capacity, and bit-width damage lands on the
+    steep part of the curve."""
     tab_rng = np.random.default_rng(1234)
-    succ = tab_rng.integers(0, vocab, (vocab, vocab, 4))
+    succ1 = tab_rng.integers(0, vocab, (vocab, 4))
+    succ2 = tab_rng.integers(0, vocab, (vocab, vocab, 4))
     rng = np.random.default_rng(seed)
     probs = np.asarray([0.55, 0.25, 0.15, 0.05])
     toks = np.empty(n_tokens, np.int32)
     toks[0] = rng.integers(0, vocab)
     toks[1] = rng.integers(0, vocab)
     choices = rng.choice(4, size=n_tokens, p=probs)
-    uniform = rng.random(n_tokens) < 0.03
+    mode = rng.random(n_tokens)  # <0.03 uniform; <0.53 order-1; else order-2
     randoms = rng.integers(0, vocab, n_tokens)
     for i in range(2, n_tokens):
-        toks[i] = (
-            randoms[i]
-            if uniform[i]
-            else succ[toks[i - 2], toks[i - 1], choices[i]]
-        )
+        if mode[i] < 0.03:
+            toks[i] = randoms[i]
+        elif mode[i] < 0.53:
+            toks[i] = succ1[toks[i - 1], choices[i]]
+        else:
+            toks[i] = succ2[toks[i - 2], toks[i - 1], choices[i]]
     return toks
 
 
@@ -79,7 +91,7 @@ def main():
     from flute_tpu.models import llama
     from flute_tpu.quantize import learnable
 
-    vocab = 1024
+    vocab = 256
     config = dataclasses.replace(
         llama.LlamaConfig.tiny(vocab_size=vocab),
         num_layers=4,
@@ -94,7 +106,7 @@ def main():
     test = make_corpus(vocab, 40_000, seed=1)
     seq, bs = 128, 16
 
-    opt = optax.adam(3e-3)
+    opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
     @jax.jit
